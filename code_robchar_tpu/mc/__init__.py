@@ -1,0 +1,15 @@
+"""The cachable Monte-Carlo robustness engine."""
+
+from code_robchar_tpu.mc.engine import (
+    mc_fidelity_sweep,
+    metric_tensors,
+    arim_from_rims,
+)
+from code_robchar_tpu.mc.datasim import MCDataSim
+
+__all__ = [
+    "mc_fidelity_sweep",
+    "metric_tensors",
+    "arim_from_rims",
+    "MCDataSim",
+]

@@ -1,0 +1,146 @@
+"""The Monte-Carlo robustness sweep as ONE jitted device program.
+
+Reference behavior being replaced: MCDataSim.get_algo_fid_dist
+(mcsim.py:422-460) runs a Python triple loop (noise level x controller x
+bootstrap rep), calling scipy expm once per iteration — ~1.1e6 sequential
+expm calls per figure, with multiprocessing.Pool over bootreps as the only
+(disabled, "slow, TODO fix") parallelism.
+
+TPU-native design: the full (L, C, B) lattice is a single `vmap` program
+over one pure element kernel
+
+    fid[l, c, b] = |<out| exp(-i T_c (H0 + Z(key_lcb, sigma_l) + diag(x_c)))
+                    |in>|^2
+
+evaluated with the eigenbasis propagator.  The lattice is processed in
+fixed-size chunks through `lax.map` (so HBM holds one chunk of (n, n)
+matrices at a time regardless of lattice size), and the chunk axis shards
+across a device mesh in code_robchar_tpu.parallel.  Metric tensors are
+computed on-device as batched trailing-axis reductions (metrics/rim.py) —
+the .mcm triple loop (mcsim.py:487-498) becomes three fused reductions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from code_robchar_tpu.metrics.rim import (
+    wd_from_ideal, wd_from_ideal_zero, compute_dkw_error)
+from code_robchar_tpu.metrics.stats import metric_registry
+from code_robchar_tpu.ops.noise import structured_perturbation
+from code_robchar_tpu.ops.propagate import fidelity_from_controller
+from code_robchar_tpu.ops.eigh import jacobi_eigh
+
+DEFAULT_CHUNK = 8192
+
+
+def _element_kernel(h0, x, scale, key, in_spin, out_spin, complex_offdiag,
+                    eigh):
+    n = h0.shape[-1]
+    z = structured_perturbation(key, n, scale,
+                                complex_offdiag=complex_offdiag,
+                                dtype=h0.dtype)
+    return fidelity_from_controller(h0 + z, x, in_spin, out_spin, eigh=eigh)
+
+
+def _sweep_core(h0, ctrl, noises, key, bootreps, in_spin, out_spin,
+                complex_offdiag, chunk, use_jacobi,
+                c_offset, c_global) -> jnp.ndarray:
+    """Sweep a (local) controller block.
+
+    Per-element PRNG keys are derived by folding the *global* flat lattice
+    id (layout (L, C_global, B)) into ``key``, so a sharded execution over
+    controller blocks reproduces the unsharded sweep bit-for-bit.
+    """
+    num_l = noises.shape[0]
+    num_c = ctrl.shape[0]
+    total = num_l * num_c * bootreps
+    eigh = jacobi_eigh if use_jacobi else jnp.linalg.eigh
+
+    chunk = min(chunk, total)
+    padded = -(-total // chunk) * chunk
+    ids = jnp.arange(padded, dtype=jnp.uint32) % total  # pad wraps around
+    l_idx = ids // (num_c * bootreps)
+    c_idx = (ids // bootreps) % num_c
+    b_idx = ids % bootreps
+    gids = ((l_idx * c_global + c_idx + c_offset) * bootreps + b_idx
+            ).astype(jnp.uint32)
+
+    def elem(args):
+        lid, cid, gid = args
+        k = jax.random.fold_in(key, gid)
+        return _element_kernel(h0, ctrl[cid], noises[lid], k, in_spin,
+                               out_spin, complex_offdiag, eigh)
+
+    def do_chunk(args):
+        return jax.vmap(elem)(args)
+
+    args = (l_idx.reshape(-1, chunk), c_idx.reshape(-1, chunk),
+            gids.reshape(-1, chunk))
+    fids = jax.lax.map(do_chunk, args).reshape(-1)[:total]
+    return fids.reshape(num_l, num_c, bootreps)
+
+
+@partial(jax.jit,
+         static_argnames=("bootreps", "in_spin", "out_spin",
+                          "complex_offdiag", "chunk", "use_jacobi"))
+def mc_fidelity_sweep(h0: jnp.ndarray, controllers: jnp.ndarray,
+                      noises: jnp.ndarray, key: jax.Array, bootreps: int,
+                      in_spin: int, out_spin: int,
+                      complex_offdiag: bool = True,
+                      chunk: int = DEFAULT_CHUNK,
+                      use_jacobi: bool = True) -> jnp.ndarray:
+    """Fidelity-distribution tensor of shape (L, C, B).
+
+    h0: (n, n) drift Hamiltonian; controllers: (C, n+1); noises: (L,).
+    ``complex_offdiag=True`` is the MC-characterisation noise variant
+    (noise_model.py:139-146); the sweep at noise level l uses
+    sigma = noises[l] for every draw (mcsim.py:425).
+    """
+    return _sweep_core(h0, controllers, noises, key, bootreps, in_spin,
+                       out_spin, complex_offdiag, chunk, use_jacobi,
+                       jnp.uint32(0), controllers.shape[0])
+
+
+@partial(jax.jit, static_argnames=("alpha",))
+def metric_tensors(fids: jnp.ndarray, alpha: float = 0.05
+                   ) -> Dict[str, jnp.ndarray]:
+    """All five metrics x {center, upper, lower} as (L, C) tensors.
+
+    Key-name contract matches the .mcm schema (mcsim.py:487-498), including
+    the reference's deliberate band-naming inversion: the "upper" tensor is
+    computed from fids - dkw and "lower" from fids + dkw, because the ideal
+    sits at fidelity 1 (mcsim.py:483-485).
+    """
+    eps = compute_dkw_error(alpha, fids.shape[-1])
+    shifted_lower = jnp.clip(fids + eps, 0.0, 1.0)
+    shifted_upper = jnp.clip(fids - eps, 0.0, 1.0)
+    out = {}
+    for name, fn in metric_registry.items():
+        out[name] = fn(fids)
+        out[name + " upper"] = fn(shifted_upper)
+        out[name + " lower"] = fn(shifted_lower)
+    return out
+
+
+def arim_from_rims(rims: jnp.ndarray) -> jnp.ndarray:
+    """Algorithm-level RIM: Wasserstein distance of the trailing-axis RIM
+    sample (over controllers) from delta(x-0), i.e.
+    wd_from_ideal_zero(RIMs) (generate_arim_all_fig5.py:119,166)."""
+    return wd_from_ideal_zero(jnp.clip(rims, 0.0, 1.0))
+
+
+def bootstrap_statistic_std(key: jax.Array, sample: jnp.ndarray,
+                            statistic, bootsamples: int = 100) -> jnp.ndarray:
+    """Nonparametric bootstrap std of a trailing-axis statistic
+    (mcsim.py:267-275 ``bootstrap_resampling_std``), vectorised: all
+    ``bootsamples`` resamples evaluate in one vmap."""
+    n = sample.shape[-1]
+    idx = jax.random.randint(key, (bootsamples, n), 0, n)
+    stats = jax.vmap(lambda i: statistic(jnp.take(sample, i, axis=-1)))(idx)
+    return jnp.std(stats, axis=0)

@@ -118,8 +118,9 @@ def jacobi_eigh(h: jnp.ndarray, sweeps: int | None = None
         else 1e-15
 
     a = h
-    eye = jnp.eye(n, dtype=h.dtype)
-    v = jnp.broadcast_to(eye, h.shape).astype(h.dtype)
+    # identity init written as 0*h + I so v inherits h's device-varying
+    # axes (keeps the fori_loop carry consistent under shard_map).
+    v = jnp.zeros_like(h) + jnp.eye(n, dtype=h.dtype)
 
     def sweep(_, carry):
         a, v = carry

@@ -1,0 +1,9 @@
+"""Device-mesh sharding for the batch axes (controllers / restarts / envs)."""
+
+from code_robchar_tpu.parallel.mesh import (
+    make_mesh,
+    sharded_mc_sweep,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "sharded_mc_sweep", "shard_batch"]

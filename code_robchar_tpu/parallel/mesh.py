@@ -1,0 +1,79 @@
+"""Mesh construction and sharded batch execution.
+
+The reference's only parallelism is a default-off multiprocessing.Pool over
+bootstrap reps (mcsim.py:452-455; commented-out MPI hooks in ppo.py are the
+other fossil, SURVEY.md §2.4).  The TPU-native equivalent: a 1-D device
+mesh over the embarrassingly-parallel batch axis ("batch" = controllers for
+the MC engine, restarts for optimizers, environments for PPO).  Inputs are
+laid out with `jax.device_put` + NamedSharding; XLA then partitions the
+jitted program SPMD-style with at most an all-gather of the (L, C) metric
+reductions riding ICI — no DCN traffic at this problem scale.
+
+For a v5e-8 slice use make_mesh(8); the same code path is exercised on the
+8-virtual-device CPU mesh in tests (tests/test_parallel.py) and by
+__graft_entry__.dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from code_robchar_tpu.mc import engine
+
+BATCH_AXIS = "batch"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (BATCH_AXIS,))
+
+
+def shard_batch(mesh: Mesh, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Place ``x`` with its ``axis`` dimension split across the mesh."""
+    spec = [None] * x.ndim
+    spec[axis] = BATCH_AXIS
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def sharded_mc_sweep(mesh: Mesh, h0, controllers, noises, key, bootreps: int,
+                     in_spin: int, out_spin: int, *,
+                     complex_offdiag: bool = True,
+                     use_jacobi: bool = True,
+                     chunk: int = engine.DEFAULT_CHUNK) -> jnp.ndarray:
+    """(L, C, B) fidelity tensor with the controller axis sharded.
+
+    shard_map over the controller axis: each device sweeps its block with
+    per-element keys folded from the *global* lattice id, so the result is
+    bit-identical to the unsharded sweep (tests/test_parallel.py pins this).
+    The output stays sharded along C for on-device metric reduction.
+    """
+    shard_map = jax.shard_map
+
+    n_dev = mesh.devices.size
+    controllers = jnp.asarray(controllers)
+    c_global = controllers.shape[0]
+    if c_global % n_dev:
+        raise ValueError(f"controller count {c_global} must divide the mesh "
+                         f"size {n_dev} (pad with NaN controllers)")
+    c_local = c_global // n_dev
+    local_chunk = min(chunk, noises.shape[0] * c_local * bootreps)
+
+    def local_sweep(ctrl_block):
+        dev = jax.lax.axis_index(BATCH_AXIS)
+        offset = (dev * c_local).astype(jnp.uint32)
+        return engine._sweep_core(
+            h0, ctrl_block, noises, key, bootreps, in_spin, out_spin,
+            complex_offdiag, local_chunk, use_jacobi, offset, c_global)
+
+    fn = shard_map(local_sweep, mesh=mesh,
+                   in_specs=P(BATCH_AXIS, None),
+                   out_specs=P(None, BATCH_AXIS, None))
+    ctrl = shard_batch(mesh, controllers, axis=0)
+    return jax.jit(fn)(ctrl)

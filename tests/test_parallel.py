@@ -1,0 +1,41 @@
+"""Sharded-vs-unsharded equivalence on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from code_robchar_tpu.mc import mc_fidelity_sweep
+from code_robchar_tpu.ops import chain
+from code_robchar_tpu.parallel import make_mesh, sharded_mc_sweep
+
+
+def test_mesh_has_eight_devices():
+    assert make_mesh().devices.size == 8
+
+
+def test_sharded_sweep_bitwise_matches_unsharded(rng):
+    n, c, b = 4, 16, 3
+    h0 = chain.xx_hamiltonian(n)
+    xs = jnp.asarray(np.column_stack([rng.uniform(-5, 5, (c, n)),
+                                      rng.uniform(1, 10, c)]))
+    noises = jnp.asarray([0.0, 0.05])
+    key = jax.random.key(3)
+
+    ref = np.asarray(mc_fidelity_sweep(h0, xs, noises, key, b, 0, 2,
+                                       chunk=32))
+    mesh = make_mesh(8)
+    out = np.asarray(sharded_mc_sweep(mesh, h0, xs, noises, key, b, 0, 2,
+                                      chunk=32))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_sweep_rejects_indivisible_batch(rng):
+    h0 = chain.xx_hamiltonian(4)
+    xs = jnp.zeros((10, 5))
+    try:
+        sharded_mc_sweep(make_mesh(8), h0, xs, jnp.asarray([0.0]),
+                         jax.random.key(0), 1, 0, 2)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
