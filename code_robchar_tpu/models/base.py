@@ -1,0 +1,315 @@
+"""Shared scaffolding for the optimizer zoo.
+
+Constructor contract and run()/record protocol follow the reference's LBFGS
+base class (qnewton.py:26-120, README.md:20): same keyword surface, same
+``record``/``records`` dict keys, same stop modes (first-hit fid_threshold
+vs run-until-fcall-budget with landscape-exploration top-c collection), same
+wall-clock timeout behavior (AssertionError), same function-call accounting
+multipliers.
+
+TPU-native difference: restarts are executed in *device batches* — each
+optimizer implements `_run_batch(x0s, keys) -> BatchResult` as one jitted
+vmapped program, and the host loop here only does record bookkeeping between
+batches.  Batch size auto-scales so that fcall-budget checkpoints
+(records_update_rate) keep their resolution.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from code_robchar_tpu import config
+from code_robchar_tpu.models import objectives
+from code_robchar_tpu.ops import chain, noise as noise_ops, sobol
+from code_robchar_tpu.ops.propagate import (
+    fidelity_from_controller, infidelity_and_gradient, overlap_ss)
+from code_robchar_tpu.utils.record import RunRecord, TopControllers
+from code_robchar_tpu.utils.timeout import Deadline, TimeoutError_
+
+
+class BatchResult(NamedTuple):
+    """Per-restart outputs of one device batch."""
+    x: jnp.ndarray          # (K, d) final controllers
+    fid: jnp.ndarray        # (K,) fidelity under the training objective
+    true_fid: jnp.ndarray   # (K,) noiseless fidelity
+    nfev: jnp.ndarray       # (K,) objective calls (incl. multipliers)
+    nit: jnp.ndarray        # (K,) iterations
+
+
+class ControlOptimizer:
+    """Base class; subclasses implement `_run_batch` and set `name`."""
+
+    name = "base"
+    #: default restarts executed per device dispatch
+    default_batch = 128
+
+    def __init__(self, nspin, in_spin, out_spin, bmin=-10, bmax=10,
+                 max_time=30, repeats=1000000, fid_threshold=0.98, log=False,
+                 topo="linear", save=False, noisy=False, timeout=1800000,
+                 fid_noisy=False, draws=10, ham_noisy=False, verbose=False,
+                 adp_tol=0.05, adaptive=False, noise=0.05,
+                 use_wass_cost=False, testing=None,
+                 run_until_told_to_stop=None, run_until_completion_its=None,
+                 landscape_exploration: bool = False, save_topc: int = 1000,
+                 heisenberg_int: bool = False, use_fixed_ham: bool = False,
+                 opt_train_size: int = 100,
+                 records_update_rate: Optional[float] = None,
+                 seed: Optional[int] = None,
+                 restart_batch: Optional[int] = None):
+        self.Nspin = nspin
+        self.In = in_spin
+        self.Out = out_spin
+        self.topo = "ring" if topo == "ring" else "chain"
+        self.heisenberg_int = heisenberg_int
+        self.Tmin, self.Tmax = 0.0, float(max_time)
+        self.Bmin, self.Bmax = float(bmin), float(bmax)
+        self.repeats = int(repeats)
+        self.fid_threshold = fid_threshold
+        self.draws = draws
+        self.fid_noisy = fid_noisy
+        self.ham_noisy = ham_noisy
+        self.adaptive = adaptive
+        self.adp_tol = adp_tol
+        self.noise = noise
+        self.timeout = timeout
+        self.verbose = verbose
+        self.save = save
+        self.testing = testing
+        self.use_wass_cost = use_wass_cost
+        self.run_until_told_to_stop = run_until_told_to_stop
+        self.run_until_completion_its = run_until_completion_its
+        self.landscape_exploration = landscape_exploration
+        self.save_topc = save_topc
+        self.use_fixed_ham = use_fixed_ham
+        self.train_size = opt_train_size
+        self.records_update_rate = records_update_rate
+        self.fun_call_limit = 1e10
+        self.restart_batch = restart_batch
+
+        assert self.Tmax >= self.Tmin and self.Bmax >= self.Bmin
+
+        self.HH = chain.xx_hamiltonian(nspin, topo=self.topo,
+                                       heisenberg=heisenberg_int)
+        self.val_bounds = [(self.Bmin, self.Bmax)] * nspin + \
+            [(self.Tmin, self.Tmax)]
+        self._lower = jnp.asarray([b[0] for b in self.val_bounds])
+        self._upper = jnp.asarray([b[1] for b in self.val_bounds])
+
+        if seed is None:
+            seed = 0 if testing else int(np.random.randint(0, 2**31 - 1))
+        self._key = jax.random.key(seed)
+        self.seed = seed
+
+        # fixed-Hamiltonian ensemble (documented seed contract: key(4),
+        # mirroring the reference's np.random.seed(4), qnewton.py:124)
+        if use_fixed_ham:
+            self.randH, self.randH_test = noise_ops.fixed_hamiltonian_ensemble(
+                jax.random.key(4), self.HH, self.noise,
+                train_size=self.train_size, test_size=10000)
+        else:
+            self.randH = self.randH_test = None
+
+        self.record: Dict = {"time_to_get_fid": None, "func_calls": None,
+                             "iterations": None, "repeats": None,
+                             "best_fid": None, "controller": None}
+        self.records: Dict = {}
+        self.filename = self.filename_generator()
+
+    # ----------------------------------------------------------- plumbing
+
+    def filename_generator(self) -> str:
+        return "{}_record_s{}_o{}_t{}_b{}_r_{}.json".format(
+            self.name, self.Nspin, self.Out, self.Tmax, self.Bmax,
+            self.repeats)
+
+    def next_key(self) -> jax.Array:
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def spec(self) -> objectives.ObjectiveSpec:
+        """The device objective spec for the *current* noise config.
+
+        Rebuilt on each run() because Experiment mutates .noise and
+        .fid_threshold after construction (noise_analysis.py:340-344).
+        """
+        return objectives.ObjectiveSpec(
+            h0=self.HH, in_spin=self.In, out_spin=self.Out,
+            noise=float(self.noise), fid_noisy=bool(self.fid_noisy),
+            ham_noisy=bool(self.ham_noisy), draws=int(self.draws),
+            adaptive=bool(self.adaptive), adp_tol=float(self.adp_tol),
+            fixed_hams=self.randH if self.use_fixed_ham else None,
+            mul_fac=self.train_size if self.use_fixed_ham else 1)
+
+    # ------------------------------------------------- reference-API shims
+
+    def sys_hamiltonian(self):
+        return self.HH
+
+    def controls(self):
+        return chain.control_projectors(self.Nspin)
+
+    def structured_perturabation(self):  # reference spelling kept
+        return noise_ops.structured_perturbation(
+            self.next_key(), self.Nspin, self.noise, complex_offdiag=False)
+
+    def fidelity_ss(self, x, noisy=False, ham_noisy=False,
+                    use_fixed_ham=False, rH=None):
+        """Host convenience mirroring qnewton.py:383-423."""
+        x = jnp.asarray(x)
+        h = jnp.asarray(rH) if use_fixed_ham and rH is not None else self.HH
+        if ham_noisy:
+            h = h + noise_ops.structured_perturbation(
+                self.next_key(), self.Nspin, self.noise,
+                complex_offdiag=False, dtype=h.dtype)
+        fid = fidelity_from_controller(h, x, self.In, self.Out)
+        if not noisy:
+            return float(fid)
+        if not self.adaptive:
+            return float(noise_ops.shot_noise_fidelity(
+                self.next_key(), fid, self.draws))
+        est, _ = noise_ops.adaptive_shot_fidelity(
+            self.next_key(), fid, self.draws, self.adp_tol)
+        return float(est)
+
+    def fidelity_ss_av(self, x, test=False):
+        hams = self.randH_test if test else self.randH
+        fids = jax.vmap(lambda h: fidelity_from_controller(
+            h, jnp.asarray(x), self.In, self.Out))(hams)
+        return float(jnp.mean(fids))
+
+    def eval_static_fidelity_gradient(self, x):
+        err, grad = infidelity_and_gradient(self.HH, jnp.asarray(x),
+                                            self.In, self.Out)
+        return float(err), np.asarray(grad)
+
+    def overlap_ss(self, x):
+        return float(overlap_ss(self.HH, jnp.asarray(x), self.In, self.Out))
+
+    def wass_cost(self, x, bootstrap_reps=5):
+        cost = objectives.make_wass_cost(self.spec(), bootstrap_reps)
+        return float(cost(jnp.asarray(x), self.next_key()))
+
+    def randHset_constructor(self, train_size=1000, test_size=10000):
+        return noise_ops.fixed_hamiltonian_ensemble(
+            jax.random.key(4), self.HH, self.noise,
+            train_size=train_size, test_size=test_size)
+
+    # --------------------------------------------------------- init points
+
+    def init_points(self, k: int) -> np.ndarray:
+        """k starting controllers in bounds: Sobol sequence under landscape
+        exploration (qnewton.py:474,483-489), uniform otherwise."""
+        if self.landscape_exploration:
+            u = self._sobol_stream(k)
+        else:
+            u = np.asarray(jax.random.uniform(
+                self.next_key(), (k, self.Nspin + 1)))
+        lo = np.asarray(self._lower)
+        hi = np.asarray(self._upper)
+        return lo + (hi - lo) * u
+
+    def _sobol_stream(self, k: int) -> np.ndarray:
+        if not hasattr(self, "_sobol"):
+            self._sobol = sobol.SobolStream(self.Nspin + 1)
+        return self._sobol.next(k)
+
+    # -------------------------------------------------------- the run loop
+
+    def _run_batch(self, x0s: jnp.ndarray, keys: jax.Array) -> BatchResult:
+        raise NotImplementedError
+
+    def _batch_size(self) -> int:
+        if self.restart_batch:
+            return self.restart_batch
+        k = self.default_batch
+        if self.run_until_told_to_stop and self.records_update_rate:
+            # keep ~checkpoint resolution: a batch should not blow past one
+            # records_update_rate window in a single dispatch
+            per_restart = getattr(self, "budget_per_restart", 300)
+            mul = self.train_size if self.use_fixed_ham else 1
+            k = max(1, min(k, int(self.records_update_rate /
+                                  max(per_restart * mul, 1))))
+        return k
+
+    def run(self):
+        """The reference's run() contract (qnewton.py:464-632), batched."""
+        deadline = Deadline(self.timeout)
+        top = TopControllers(self.save_topc)
+        rr = RunRecord(landscape_exploration=self.landscape_exploration,
+                       records_update_rate=self.records_update_rate,
+                       run_until_completion_its=self.run_until_completion_its)
+        self.record = rr.record
+        self.records = rr.records
+
+        funccalls = 0
+        iters = 0
+        reps_done = 0
+        batch = self._batch_size()
+
+        while reps_done < self.repeats:
+            k = min(batch, self.repeats - reps_done)
+            x0s = jnp.asarray(self.init_points(k))
+            keys = jax.random.split(self.next_key(), k)
+            res = self._run_batch(x0s, keys)
+
+            xs = np.asarray(res.x)
+            fids = np.asarray(res.fid)
+            true_fids = np.asarray(res.true_fid)
+            funccalls += int(np.asarray(res.nfev).sum())
+            iters += int(np.asarray(res.nit).sum())
+            reps_done += k
+
+            if self.verbose:
+                print(f"max_fid: {fids.max():.6f}, true fid: "
+                      f"{true_fids[fids.argmax()]:.6f}, fcalls: {funccalls}")
+
+            noisy_run = self.ham_noisy or self.fid_noisy
+
+            if not self.run_until_told_to_stop:
+                hit = np.nonzero(fids > self.fid_threshold)[0]
+                if hit.size:
+                    i = int(hit[np.argmax(fids[hit])])
+                    rr.save(func_calls=funccalls, iterations=iters,
+                            repeats=reps_done, controller=xs[i].tolist(),
+                            best_fid=float(true_fids[i] if noisy_run
+                                           else fids[i]), top=None)
+                    if self.save:
+                        self.save_record()
+                    return float(fids[i])
+            else:
+                if self.landscape_exploration:
+                    top.offer_many(fids, xs)
+                i = int(fids.argmax())
+                prev = rr.record["best_fid"]
+                crit = (fids[i] >= self.fid_threshold if prev is None
+                        else (True if self.landscape_exploration
+                              else fids[i] >= prev))
+                if crit:
+                    rr.save(func_calls=funccalls, iterations=iters,
+                            repeats=reps_done, controller=xs[i].tolist(),
+                            best_fid=float(true_fids[i] if noisy_run
+                                           else fids[i]), top=top)
+                if funccalls + 1 >= (self.run_until_completion_its or
+                                     np.inf):
+                    return rr.record["best_fid"]
+
+            deadline.check(self.filename)
+            if funccalls > self.fun_call_limit:
+                print(f"fun ceiling exceeded {self.fun_call_limit}")
+                return None
+        return rr.record["best_fid"]
+
+    # --------------------------------------------------------- persistence
+
+    def save_record(self):
+        from code_robchar_tpu.utils import io
+        io.dump_json(self.record, self.filename)
+
+    def read_record(self):
+        from code_robchar_tpu.utils import io
+        return io.load_json(self.filename)

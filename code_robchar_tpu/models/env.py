@@ -1,0 +1,236 @@
+"""XX spin-chain control environment.
+
+Reference: RLreinforceXXchain_actionedtime.py:14-276.  The environment is a
+*pure step function* over an explicit EnvState (action bias vector,
+accumulated time, PRNG key) so whole rollouts compile into a single
+`lax.scan` and hundreds of environments batch with vmap; a thin stateful
+``Environment`` class wraps it for reference-API parity and for the
+host-side golden tests.
+
+Faithful semantics (quirks preserved deliberately):
+
+- actions ACCUMULATE into a diagonal bias; when any |bias| exceeds bmax the
+  whole vector wraps by ``b % (sign(b) * bmax)`` (RLreinforce...:261-262).
+- the time coordinate is |t| mod maxtime when above maxtime
+  (RLreinforce...:150-151).
+- the reward evolves a FRESH |in> every step (the in-state is reset after
+  each step, RLreinforce...:270), so controllers are time-global.
+- ``done`` compares the normalised time against the pre-step
+  ``final_time`` — with the PPO driver setting final_time = accumulated
+  time each step (ppo.py:359-361), episodes effectively only end at epoch
+  boundaries (SURVEY.md quirk 9).  Mirrored exactly.
+- training-side Hamiltonian noise is the REAL-offdiagonal structured
+  perturbation (RLreinforce...:122-133).
+- ``use_fixed_ham`` averages the PROPAGATOR over the pre-drawn ensemble
+  before applying it (RLreinforce...:153-162) — not the fidelity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from code_robchar_tpu.ops import chain, noise as noise_ops
+from code_robchar_tpu.ops.propagate import propagator, transfer_fidelity
+
+
+class EnvConfig(NamedTuple):
+    n: int
+    in_spin: int
+    out_spin: int
+    bmax: float
+    maxtime: float
+    noise: float
+    fid_noisy: bool
+    ham_noisy: bool
+    draws: int
+    adaptive: bool
+    adp_tol: float
+
+
+class EnvState(NamedTuple):
+    action: jnp.ndarray    # (n,) accumulated diagonal bias
+    timestep: jnp.ndarray  # () accumulated readout time
+    final_time: jnp.ndarray
+
+
+def env_reset(cfg: EnvConfig) -> Tuple[EnvState, jnp.ndarray]:
+    state = EnvState(action=jnp.zeros(cfg.n),
+                     timestep=jnp.asarray(0.0),
+                     final_time=jnp.asarray(float(cfg.maxtime)))
+    obs = jnp.concatenate([state.action, state.timestep[None]])
+    return state, obs
+
+
+def _normalise_time(t, maxtime):
+    t = jnp.abs(t)
+    return jnp.where(t > maxtime, t % maxtime, t)
+
+
+def _wrap_action(a, bmax):
+    over = jnp.any(jnp.abs(a) > bmax)
+    wrapped = a % (jnp.sign(a) * bmax + jnp.where(a == 0, 1.0, 0.0))
+    return jnp.where(over, wrapped, a)
+
+
+def env_step(cfg: EnvConfig, h0: jnp.ndarray, state: EnvState,
+             a_bias: jnp.ndarray, a_time: jnp.ndarray, key: jax.Array,
+             fixed_hams: Optional[jnp.ndarray] = None):
+    """One control step.  Returns (state', obs, reward, true_fid, done,
+    fcalls) — fcalls carries the shot-noise draw accounting in-band."""
+    kh, ks = jax.random.split(key)
+
+    action = _wrap_action(state.action + a_bias, cfg.bmax)
+    raw_t = state.timestep + a_time
+    # the PPO driver pins final_time to the accumulated time (ppo.py:359-361)
+    final_time = raw_t
+    t = _normalise_time(raw_t, cfg.maxtime)
+
+    hc = h0 + jnp.eye(cfg.n, dtype=h0.dtype) * action.astype(h0.dtype)
+
+    if fixed_hams is not None:
+        # averaged-propagator path (RLreinforce...:153-162)
+        bias = jnp.eye(cfg.n, dtype=h0.dtype) * action.astype(h0.dtype)
+        us = jax.vmap(lambda h: propagator(h + bias, t))(fixed_hams)
+        u_mean = jnp.mean(us, axis=0)
+        amp = u_mean[cfg.out_spin, cfg.in_spin]
+        fid = (amp * amp.conj()).real
+    else:
+        h = hc
+        if cfg.ham_noisy:
+            h = h + noise_ops.structured_perturbation(
+                kh, cfg.n, cfg.noise, complex_offdiag=False, dtype=h.dtype)
+        fid = transfer_fidelity(h, t, cfg.in_spin, cfg.out_spin)
+
+    true_fid = transfer_fidelity(hc, t, cfg.in_spin, cfg.out_spin)
+
+    fcalls = jnp.asarray(1, jnp.int32)
+    reward = fid
+    if cfg.fid_noisy:
+        if cfg.adaptive:
+            reward, extra = noise_ops.adaptive_shot_fidelity(
+                ks, fid, cfg.draws, cfg.adp_tol)
+            fcalls = (extra + cfg.draws).astype(jnp.int32)
+        else:
+            reward = noise_ops.shot_noise_fidelity(ks, fid, cfg.draws)
+
+    done = t > final_time
+    state = EnvState(action=action, timestep=t, final_time=final_time)
+    obs = jnp.concatenate([action, t[None]])
+    return state, obs, reward, true_fid, done, fcalls
+
+
+class Environment:
+    """Stateful reference-API wrapper (reset/step/fidelity/true_fid/state)
+    around the pure kernel; used by tests and host-side exploration."""
+
+    def __init__(self, nspin, in_spin, out_spin, action_vector=None,
+                 final_time=6, topo="linear", timestep_res=0.01, max_time=30,
+                 bmin=-20, bmax=20, fid_noisy=False, ham_noisy=False,
+                 draws=20, adaptive=False, adp_tol=0.05, noise=0.05,
+                 transfer_learning=False, heisenberg_int=False,
+                 use_fixed_ham=False, opt_train_size=100, seed=0):
+        self.Nspin = nspin
+        self.in_spin = in_spin
+        self.out_spin = out_spin
+        self.noise = noise
+        self.maxtime = max_time
+        self.max = bmax
+        self.min = bmin
+        self.tres = timestep_res
+        self.use_fixed_ham = use_fixed_ham
+        self.train_size = opt_train_size
+        self.draws = draws
+        self.adaptive = adaptive
+        self.adp_var_tol = adp_tol
+        self.fid_noisy = fid_noisy
+        self.ham_noisy = ham_noisy
+        self._key = jax.random.key(seed)
+
+        self.sys = chain.xx_hamiltonian(nspin, topo=topo,
+                                        heisenberg=heisenberg_int)
+        if transfer_learning:
+            # perturbed system with its diagonal masked off
+            # (RLreinforce...:30-35)
+            pert = noise_ops.structured_perturbation(
+                self._next(), nspin, 0.1, complex_offdiag=False,
+                dtype=self.sys.dtype)
+            mask = 1.0 - jnp.eye(nspin, dtype=self.sys.dtype)
+            self.sys = (self.sys + pert) * mask
+
+        if use_fixed_ham:
+            self.randH, self.randH_test = noise_ops.fixed_hamiltonian_ensemble(
+                jax.random.key(4), self.sys, self.noise,
+                train_size=self.train_size, test_size=10000,
+                complex_offdiag=False)
+        else:
+            self.randH = self.randH_test = None
+
+        self.timestep = 0.0
+        self.final_time = float(self.maxtime)
+        self.action = np.zeros(nspin)
+        self.adp_func_calls_increment = draws
+        self.tf = 0.0
+
+    def _next(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _cfg(self) -> EnvConfig:
+        return EnvConfig(n=self.Nspin, in_spin=self.in_spin,
+                         out_spin=self.out_spin, bmax=float(self.max),
+                         maxtime=float(self.maxtime),
+                         noise=float(self.noise),
+                         fid_noisy=bool(self.fid_noisy),
+                         ham_noisy=bool(self.ham_noisy),
+                         draws=int(self.draws), adaptive=bool(self.adaptive),
+                         adp_tol=float(self.adp_var_tol))
+
+    def reset(self):
+        self.timestep = 0.0
+        self.final_time = float(self.maxtime)
+        self.action = np.zeros(self.Nspin)
+        return np.diag(self.action)
+
+    def structured_perturabation(self, noise):
+        return np.asarray(noise_ops.structured_perturbation(
+            self._next(), self.Nspin, noise, complex_offdiag=False))
+
+    def step(self, action_matrix):
+        """action_matrix: (n, n) diagonal increment (reference passes
+        np.diag(a)); time increments are applied by mutating .timestep
+        before the call, as the PPO driver does (ppo.py:359-363)."""
+        a_bias = jnp.asarray(np.diag(np.asarray(action_matrix)))
+        st = EnvState(action=jnp.asarray(self.action),
+                      timestep=jnp.asarray(0.0),
+                      final_time=jnp.asarray(float(self.final_time)))
+        st, obs, reward, true_fid, done, _ = env_step(
+            self._cfg(), self.sys, st, a_bias, jnp.asarray(self.timestep),
+            self._next(),
+            fixed_hams=self.randH if self.use_fixed_ham else None)
+        self.action = np.asarray(st.action)
+        self.timestep = float(st.timestep)
+        self.tf = float(true_fid)
+        return np.diag(self.action), float(reward), bool(done)
+
+    def fidelity(self):
+        st = EnvState(action=jnp.asarray(self.action),
+                      timestep=jnp.asarray(0.0),
+                      final_time=jnp.asarray(float(self.final_time)))
+        _, _, reward, _, _, fc = env_step(
+            self._cfg(), self.sys, st, jnp.zeros(self.Nspin),
+            jnp.asarray(self.timestep), self._next(),
+            fixed_hams=self.randH if self.use_fixed_ham else None)
+        self.adp_func_calls_increment += int(fc) - 1 if self.adaptive else 0
+        return float(reward)
+
+    def true_fid(self, action_matrix, timestep_n=None):
+        t = self.timestep if timestep_n is None else timestep_n
+        a = jnp.asarray(np.diag(np.asarray(action_matrix)))
+        h = self.sys + jnp.eye(self.Nspin, dtype=self.sys.dtype) * \
+            a.astype(self.sys.dtype)
+        return float(transfer_fidelity(h, jnp.asarray(float(t)),
+                                       self.in_spin, self.out_spin))

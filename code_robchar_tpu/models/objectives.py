@@ -1,0 +1,134 @@
+"""Device-side objective builders shared by the optimizer zoo.
+
+The reference builds per-optimizer ``infidelity`` closures over four noise
+regimes (qnewton.py:383-455, 500-514):
+
+- noiseless:          1 - |<out|U|in>|^2, exact gradient available
+- ham_noisy:          a fresh *real-offdiagonal* structured perturbation per
+                      objective call (qnewton.py:391-392 + 366-379)
+- fid_noisy:          binomial shot noise on the fidelity (qnewton.py:405-409),
+                      optionally the adaptive Bayesian protocol (410-423)
+- use_fixed_ham:      mean fidelity over a pre-drawn ensemble
+                      (qnewton.py:425-444), each call billed train_size
+                      function calls (SURVEY.md §5 fcall accounting)
+
+Here each regime is one pure function `(x, key) -> (infidelity, fcalls)`;
+the fcall increment rides in-band so the exact accounting survives jit.
+All builders vmap/grad cleanly; everything is traced once per optimizer.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from code_robchar_tpu.metrics.rim import wd_from_ideal
+from code_robchar_tpu.ops import noise as noise_ops
+from code_robchar_tpu.ops.propagate import (
+    fidelity_from_controller, infidelity_and_gradient)
+
+
+class ObjectiveSpec(NamedTuple):
+    h0: jnp.ndarray                 # (n, n) drift
+    in_spin: int
+    out_spin: int
+    noise: float                    # sigma for ham noise
+    fid_noisy: bool
+    ham_noisy: bool
+    draws: int
+    adaptive: bool
+    adp_tol: float
+    fixed_hams: Optional[jnp.ndarray]  # (R, n, n) pre-perturbed ensemble
+    mul_fac: int                    # fcall multiplier (train_size or 1)
+
+
+def make_infidelity(spec: ObjectiveSpec
+                    ) -> Callable[[jnp.ndarray, jax.Array],
+                                  Tuple[jnp.ndarray, jnp.ndarray]]:
+    """(x, key) -> (infidelity, fcall_increment)."""
+    n = spec.h0.shape[-1]
+
+    def clean_fid(h0, x):
+        return fidelity_from_controller(h0, x, spec.in_spin, spec.out_spin)
+
+    def one_fid(x, key):
+        kh, ks = jax.random.split(key)
+        h = spec.h0
+        if spec.ham_noisy:
+            # training-side noise is the REAL-offdiagonal variant
+            # (qnewton.py:366-379; SURVEY.md quirk 7)
+            h = h + noise_ops.structured_perturbation(
+                kh, n, spec.noise, complex_offdiag=False, dtype=h.dtype)
+        fid = clean_fid(h, x)
+        if spec.fid_noisy:
+            if spec.adaptive:
+                fid, extra = noise_ops.adaptive_shot_fidelity(
+                    ks, fid, spec.draws, spec.adp_tol)
+                return fid, (extra + spec.draws).astype(jnp.int32)
+            fid = noise_ops.shot_noise_fidelity(ks, fid, spec.draws)
+        return fid, jnp.asarray(1, jnp.int32)
+
+    if spec.fixed_hams is not None:
+        def infid(x, key):
+            # mean fidelity over the fixed ensemble.  The increment is the
+            # RAW call count (1); the train_size multiplier (qnewton.py:558,
+            # nmplus.py:252) is applied by each optimizer's billing layer so
+            # the reference's per-optimizer accounting quirks stay local.
+            fids = jax.vmap(lambda h: clean_fid(h, x))(spec.fixed_hams)
+            fid = jnp.mean(fids)
+            if spec.fid_noisy:
+                fid = noise_ops.shot_noise_fidelity(key, fid, spec.draws)
+            return 1.0 - fid, jnp.asarray(1, jnp.int32)
+        return infid
+
+    def infid(x, key):
+        fid, calls = one_fid(x, key)
+        return 1.0 - fid, calls
+    return infid
+
+
+def make_exact_gradient(spec: ObjectiveSpec):
+    """(x) -> (infidelity, grad): the analytic eigenbasis gradient
+    (noiseless drift; the reference's exact-gradient path qnewton.py:497)."""
+    def f(x):
+        return infidelity_and_gradient(spec.h0, x, spec.in_spin,
+                                       spec.out_spin)
+    return f
+
+
+def make_fd_gradient(infid_fn, dim: int, eps: float = 1e-8):
+    """Forward-difference gradient of a (possibly noisy) objective.
+
+    Mirrors scipy's approx_grad accounting: one gradient costs dim+1
+    objective calls (qnewton.py:513-514 uses approx_grad=True).  All dim+1
+    probes evaluate in one vmap.
+    """
+    def grad(x, key):
+        keys = jax.random.split(key, dim + 1)
+        f0, c0 = infid_fn(x, keys[0])
+        probes = x + eps * jnp.eye(dim, dtype=x.dtype)
+        fs, cs = jax.vmap(infid_fn)(probes, keys[1:])
+        g = (fs - f0) / eps
+        return f0, g, (c0 + jnp.sum(cs)).astype(jnp.int32)
+    return grad
+
+
+def make_wass_cost(spec: ObjectiveSpec, bootstrap_reps: int = 5):
+    """Wasserstein robustness cost (qnewton.py:447-455): RIM_1 of
+    ``bootstrap_reps`` ham-noisy fidelity draws around x.  Note the
+    reference probes with the real-offdiagonal training noise."""
+    n = spec.h0.shape[-1]
+
+    def cost(x, key):
+        keys = jax.random.split(key, bootstrap_reps)
+
+        def draw(k):
+            h = spec.h0 + noise_ops.structured_perturbation(
+                k, n, spec.noise, complex_offdiag=False, dtype=spec.h0.dtype)
+            return fidelity_from_controller(h, x, spec.in_spin,
+                                            spec.out_spin)
+        fids = jax.vmap(draw)(keys)
+        return wd_from_ideal(jnp.clip(fids, 0.0, 1.0))
+    return cost

@@ -1,0 +1,390 @@
+"""PPO controller synthesis, compiled end-to-end.
+
+Reference: ppo.py (spinningup-derived torch trainer driving the numpy env
+step-by-step, crossing the torch<->numpy boundary twice per step,
+SURVEY.md §3.2).  Here one *epoch* — 500-step rollout, GAE-lambda,
+KL-early-stopped clipped-surrogate policy updates, value regression — is a
+single jitted program: rollouts are `lax.scan` over the pure env kernel,
+GAE is a reverse scan, the pi loop is a `lax.while_loop` with the KL gate,
+and the v loop a `lax.fori_loop`.  ``num_agents`` vmaps the whole epoch so
+hundreds of independent controller searches share one compilation
+(BASELINE.json north star).
+
+Hyperparameter contract mirrors the reference exactly, including its quirk
+that run() applies its *own* defaults for train_pi_iters / train_v_iters /
+clip_ratio / lrs, honouring only the constructor's lam/gamma
+(ppo.py:216-231).  Function-call accounting: one env step bills 1 call
+(x train_size under fixed-ham, ppo.py:364-371; adaptive shots bill their
+draw consumption in-band).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from code_robchar_tpu.models import actor_critic as ac
+from code_robchar_tpu.models.env import EnvConfig, EnvState, env_reset, \
+    env_step
+from code_robchar_tpu.ops import chain
+from code_robchar_tpu.utils.record import RunRecord, TopControllers
+from code_robchar_tpu.utils.timeout import Deadline
+
+
+class AgentState(NamedTuple):
+    params: Dict
+    pi_opt: optax.OptState
+    vf_opt: optax.OptState
+    env: EnvState
+    obs: jnp.ndarray
+    ep_len: jnp.ndarray
+    key: jax.Array
+
+
+class EpochOut(NamedTuple):
+    rewards: jnp.ndarray      # (T,)
+    true_fids: jnp.ndarray    # (T,)
+    stores: jnp.ndarray       # (T, d) controller = (bias..., time)
+    fcalls: jnp.ndarray       # (T,)
+    kl: jnp.ndarray
+    pi_iters: jnp.ndarray
+
+
+def gae_and_returns(rewards, values, boundaries, bootstrap, gamma, lam):
+    """GAE-lambda advantages + discounted rewards-to-go with in-scan
+    trajectory boundaries (PPOBuffer.finish_path semantics, ppo.py:58-84:
+    at a boundary the tail value is the bootstrap estimate)."""
+    def back(carry, xs):
+        adv_next, ret_next, v_next = carry
+        r, v, b, boot = xs
+        v_tail = jnp.where(b, boot, v_next)
+        ret_tail = jnp.where(b, boot, ret_next)
+        delta = r + gamma * v_tail - v
+        adv = delta + gamma * lam * jnp.where(b, 0.0, adv_next)
+        ret = r + gamma * ret_tail
+        return (adv, ret, v), (adv, ret)
+
+    init = (jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0))
+    _, (advs, rets) = jax.lax.scan(
+        back, init, (rewards, values, boundaries, bootstrap), reverse=True)
+    return advs, rets
+
+
+class PPO_en:
+    name = "ppo"
+
+    def __init__(self, nspin=3, in_spin=0, out_spin=2, bmin=-10, bmax=10,
+                 max_time=30, repeats=100, fid_threshold=0.98,
+                 timestep_res=0.5, epochs=10000, rollouts=4000, log=False,
+                 ac_kwargs=None, save=False, timeout=1800, verbose=False,
+                 fid_noisy=False, ham_noisy=False, draws=10, adaptive=False,
+                 adp_tol=0.05, testing=False, noise=0.05,
+                 transfer_learning=False, run_until_told_to_stop=False,
+                 run_until_completion_its=6e5,
+                 landscape_exploration=False, save_topc=1000,
+                 train_pi_iters=200, train_v_iters=200, clip_ratio=0.2,
+                 lam=0.97, gamma=0.99, pi_lr=3e-3, vf_lr=1e-3,
+                 use_fixed_ham=False, opt_train_size=100,
+                 records_update_rate=None, num_agents: int = 1,
+                 seed: Optional[int] = None):
+        self.nspin = nspin
+        self.In = in_spin
+        self.Out = out_spin
+        self.Bmin, self.Bmax = bmin, bmax
+        self.Tmax = max_time
+        self.fid_threshold = fid_threshold
+        self.fid_noisy = fid_noisy
+        self.ham_noisy = ham_noisy
+        self.draws = draws
+        self.adaptive = adaptive
+        self.adp_tol = adp_tol
+        self.verbose = verbose
+        self.timeout = timeout
+        self.save = save
+        self.testing = testing
+        self.lam, self.gamma = lam, gamma
+        self.run_until_told_to_stop = run_until_told_to_stop
+        self.run_until_completion_its = run_until_completion_its
+        self.landscape_exploration = landscape_exploration
+        self.save_topc = save_topc
+        self.use_fixed_ham = use_fixed_ham
+        self.train_size = opt_train_size
+        self.records_update_rate = records_update_rate
+        self.num_agents = num_agents
+
+        # the Experiment driver mutates .env.noise post-construction
+        # (noise_analysis.py:343-344), so the env wrapper is the config home
+        from code_robchar_tpu.models.env import Environment
+        self.env = Environment(nspin, in_spin, out_spin, np.zeros(nspin),
+                               max_time=max_time, bmin=bmin, bmax=bmax,
+                               fid_noisy=fid_noisy, ham_noisy=ham_noisy,
+                               draws=draws, adaptive=adaptive,
+                               adp_tol=adp_tol, noise=noise,
+                               transfer_learning=transfer_learning,
+                               use_fixed_ham=use_fixed_ham,
+                               opt_train_size=opt_train_size)
+
+        if seed is None:
+            seed = 0 if testing else int(np.random.randint(0, 2**31 - 1))
+        self.seed_ = seed
+
+        self.record = {"time_to_get_fid": None, "func_calls": None,
+                       "iterations": None, "repeats": None, "best_fid": None,
+                       "controller": None}
+        self.records = {}
+        self.filename = "ppo_en_record_s{}_o{}_t{}_b{}_r_{}.json".format(
+            nspin, out_spin, max_time, bmax, repeats)
+
+        # Monte_env capability (ppo.py:179): fidelity re-evaluation helper
+        from code_robchar_tpu.models.lbfgs import LBFGS
+        self.Monte_env = LBFGS(nspin, in_spin, out_spin, noise=noise,
+                               testing=True)
+
+        self._epoch_fn = None
+
+    # ----------------------------------------------------------- builders
+
+    def _cfg(self) -> EnvConfig:
+        return EnvConfig(n=self.nspin, in_spin=self.In, out_spin=self.Out,
+                         bmax=float(self.env.max),
+                         maxtime=float(self.env.maxtime),
+                         noise=float(self.env.noise),
+                         fid_noisy=bool(self.fid_noisy),
+                         adaptive=bool(self.adaptive),
+                         adp_tol=float(self.adp_tol),
+                         ham_noisy=bool(self.ham_noisy),
+                         draws=int(self.draws))
+
+    def _build_epoch(self, steps_per_epoch, clip_ratio, pi_lr, vf_lr,
+                     max_ep_len, train_pi_iters, train_v_iters, target_kl):
+        cfg = self._cfg()
+        h0 = self.env.sys
+        fixed = self.env.randH if self.use_fixed_ham else None
+        gamma, lam = self.gamma, self.lam
+        d = self.nspin + 1
+        mul = self.train_size if self.use_fixed_ham else 1
+
+        model = ac.ActorCritic(act_dim=d)
+        pi_tx = optax.adam(pi_lr)
+        vf_tx = optax.adam(vf_lr)
+
+        def apply(params, obs):
+            return model.apply(params, obs)
+
+        def rollout(st: AgentState):
+            def step(carry, _):
+                env_st, obs, ep_len, key = carry
+                key, ka, ke = jax.random.split(key, 3)
+                a, v, logp = ac.policy_step(st.params, apply, obs, ka)
+                env_st2, obs2, r, true_fid, done, fc = env_step(
+                    cfg, h0, env_st, a[:-1], a[-1], ke, fixed_hams=fixed)
+                ep_len = ep_len + 1
+                ttimeout = ep_len == max_ep_len
+                terminal = done | ttimeout
+                # bootstrap value for a cut-off trajectory (ppo.py:409-417)
+                _, vboot, _ = ac.policy_step(st.params, apply, obs2, ka)
+                boot = jnp.where(done & ~ttimeout, 0.0, vboot)
+                env_reset_st, obs_reset = env_reset(cfg)
+                env_next = jax.tree.map(
+                    lambda a_, b_: jnp.where(terminal, a_, b_),
+                    env_reset_st, env_st2)
+                obs_next = jnp.where(terminal, obs_reset, obs2)
+                ep_len = jnp.where(terminal, 0, ep_len)
+                out = (obs, a, r, v, logp, obs2, true_fid, terminal, boot,
+                       fc)
+                return (env_next, obs_next, ep_len, key), out
+
+            (env_st, obs, ep_len, key), traj = jax.lax.scan(
+                step, (st.env, st.obs, st.ep_len, st.key), None,
+                length=steps_per_epoch)
+            return (env_st, obs, ep_len, key), traj
+
+        def update(params, pi_opt, vf_opt, data):
+            obs, act, adv, logp_old, ret = data
+
+            def pi_loss(p):
+                mu, log_std, _ = apply(p, obs)
+                logp = ac.gaussian_logp(mu, log_std, act)
+                ratio = jnp.exp(logp - logp_old)
+                clipped = jnp.clip(ratio, 1 - clip_ratio, 1 + clip_ratio)
+                loss = -jnp.mean(jnp.minimum(ratio * adv, clipped * adv))
+                kl = jnp.mean(logp_old - logp)
+                return loss, kl
+
+            def pi_body(carry):
+                p, opt, i, _ = carry
+                (loss, kl), g = jax.value_and_grad(pi_loss, has_aux=True)(p)
+                updates, opt = pi_tx.update(g, opt, p)
+                p = optax.apply_updates(p, updates)
+                return p, opt, i + 1, kl
+
+            def pi_cond(carry):
+                _, _, i, kl = carry
+                return (i < train_pi_iters) & (kl <= 1.5 * target_kl)
+
+            # match the reference's gate order: KL is checked before each
+            # step using the *current* params (ppo.py:303-311)
+            _, kl0 = pi_loss(params)
+            params, pi_opt, pi_iters, kl = jax.lax.while_loop(
+                pi_cond, pi_body, (params, pi_opt, 0, kl0))
+
+            def v_loss(p):
+                _, _, v = apply(p, obs)
+                return jnp.mean((v - ret) ** 2)
+
+            def v_body(_, carry):
+                p, opt = carry
+                g = jax.grad(v_loss)(p)
+                updates, opt = vf_tx.update(g, opt, p)
+                p = optax.apply_updates(p, updates)
+                return p, opt
+
+            params, vf_opt = jax.lax.fori_loop(0, train_v_iters, v_body,
+                                               (params, vf_opt))
+            return params, pi_opt, vf_opt, kl, pi_iters
+
+        def epoch(st: AgentState):
+            (env_st, obs_f, ep_len, key), traj = rollout(st)
+            (obs, act, rew, val, logp, obs2, true_fid, term, boot,
+             fc) = traj
+            # epoch end always closes the open trajectory (ppo.py:409-421)
+            boundaries = term.at[-1].set(True)
+            advs, rets = gae_and_returns(rew, val, boundaries, boot, gamma,
+                                         lam)
+            advs = (advs - advs.mean()) / jnp.maximum(advs.std(), 1e-8)
+            params, pi_opt, vf_opt, kl, pi_iters = update(
+                st.params, st.pi_opt, st.vf_opt,
+                (obs, act, advs, logp, rets))
+            st = AgentState(params=params, pi_opt=pi_opt, vf_opt=vf_opt,
+                            env=env_st, obs=obs_f, ep_len=ep_len, key=key)
+            out = EpochOut(rewards=rew, true_fids=true_fid, stores=obs2,
+                           fcalls=fc * mul, kl=kl, pi_iters=pi_iters)
+            return st, out
+
+        if self.num_agents == 1:
+            return jax.jit(epoch)
+        return jax.jit(jax.vmap(epoch))
+
+    def _init_agent(self, key) -> AgentState:
+        model = ac.ActorCritic(act_dim=self.nspin + 1)
+        kp, kk = jax.random.split(key)
+        cfg = self._cfg()
+        env_st, obs = env_reset(cfg)
+        params = model.init(kp, obs)
+        pi_opt = optax.adam(3e-3).init(params)
+        vf_opt = optax.adam(1e-3).init(params)
+        return AgentState(params=params, pi_opt=pi_opt, vf_opt=vf_opt,
+                          env=env_st, obs=obs, ep_len=jnp.asarray(0),
+                          key=kk)
+
+    # ---------------------------------------------------------------- run
+
+    def run(self, seed=0, epochs=1000000, steps_per_epoch=500,
+            clip_ratio=0.2, pi_lr=3e-3, vf_lr=1e-3, max_ep_len=1000,
+            train_pi_iters=200, train_v_iters=200, target_kl=0.01,
+            logger_kwargs=None, save_freq=10):
+        if self.testing:
+            seed_val = seed
+        else:
+            seed_val = self.seed_
+        key = jax.random.key(seed_val)
+
+        epoch_fn = self._build_epoch(steps_per_epoch, clip_ratio, pi_lr,
+                                     vf_lr, max_ep_len, train_pi_iters,
+                                     train_v_iters, target_kl)
+
+        e = self.num_agents
+        if e == 1:
+            st = self._init_agent(key)
+        else:
+            st = jax.vmap(self._init_agent)(jax.random.split(key, e))
+
+        deadline = Deadline(self.timeout)
+        top = TopControllers(self.save_topc)
+        rr = RunRecord(landscape_exploration=self.landscape_exploration,
+                       records_update_rate=self.records_update_rate,
+                       run_until_completion_its=self.run_until_completion_its)
+        self.record = rr.record
+        self.records = rr.records
+
+        funcalls = 0
+        iterations = 0
+        max_fid_seen = 0.0
+        best_true = 0.0
+        noisy_run = self.ham_noisy or self.fid_noisy
+
+        for epoch_i in range(epochs):
+            st, out = epoch_fn(st)
+            rew = np.asarray(out.rewards).reshape(-1)
+            true = np.asarray(out.true_fids).reshape(-1)
+            stores = np.asarray(out.stores).reshape(-1, self.nspin + 1)
+            fc = np.asarray(out.fcalls).reshape(-1)
+            iterations += int(np.asarray(out.pi_iters).sum()) + \
+                train_v_iters * e
+
+            cum = funcalls + np.cumsum(fc)
+
+            # threshold stop with per-step resolution (ppo.py:441-448)
+            if not self.run_until_told_to_stop:
+                hits = np.nonzero(rew >= self.fid_threshold)[0]
+                funcalls = int(cum[-1])
+                m = rew.max()
+                if m > max_fid_seen:
+                    max_fid_seen = float(m)
+                    best_true = float(true[rew.argmax()])
+                if hits.size:
+                    i = int(hits[0])
+                    rr.save(func_calls=int(cum[i]), iterations=iterations,
+                            repeats=epoch_i,
+                            controller=stores[i].tolist(),
+                            best_fid=float(true[i] if noisy_run
+                                           else rew[i]), top=None)
+                    if self.save:
+                        self.save_record()
+                    return max_fid_seen
+            else:
+                # budget stop with per-step resolution (ppo.py:471-478)
+                budget = self.run_until_completion_its or np.inf
+                over = np.nonzero(cum + 1 >= budget)[0]
+                cut = int(over[0]) + 1 if over.size else len(rew)
+                if self.landscape_exploration:
+                    top.offer_many(rew[:cut], stores[:cut])
+                i = int(rew[:cut].argmax())
+                if rew[i] > max_fid_seen:
+                    max_fid_seen = float(rew[i])
+                    best_true = float(true[i])
+                prev = rr.record["best_fid"]
+                crit = True if self.landscape_exploration else (
+                    rew[i] >= (self.fid_threshold if prev is None else prev))
+                funcalls = int(cum[cut - 1])
+                if crit:
+                    rr.save(func_calls=funcalls, iterations=iterations,
+                            repeats=epoch_i, controller=stores[i].tolist(),
+                            best_fid=float(best_true if noisy_run
+                                           else max_fid_seen), top=top)
+                if over.size:
+                    return max_fid_seen
+
+            if self.verbose:
+                print(f"max_fid_obtained: {max_fid_seen}, true_fid: "
+                      f"{best_true}, func calls {funcalls}, "
+                      f"kl {np.asarray(out.kl).mean():.4f}")
+            deadline.check(self.filename)
+        return max_fid_seen
+
+    # --------------------------------------------------------- persistence
+
+    def save_record(self):
+        from code_robchar_tpu.utils import io
+        io.dump_json(self.record, self.filename)
+
+    def read_record(self):
+        return __import__("json").load(open(self.filename))
+
+    def find_min_fid_index(self, controller_list):
+        fids = [self.Monte_env.fidelity_ss(c) for c in controller_list]
+        return int(np.argmin(fids))
