@@ -1,0 +1,103 @@
+"""Headline benchmark: the BASELINE.json north-star workload.
+
+10,000-controller Monte-Carlo robustness characterisation of an N=7 chain:
+11 noise levels x 10,000 controllers x 100 bootstrap reps = 1.1e7 perturbed
+Hamiltonians propagated and scored, as ONE jitted device program
+(mc/engine.py), on whatever accelerator JAX exposes (the driver runs this
+on a real TPU chip; the reference equivalent is 1.1e7 sequential scipy expm
+calls, mcsim.py:422-460).
+
+vs_baseline = our Hamiltonians/sec divided by the reference's
+single-process scipy-expm Hamiltonians/sec measured on this host
+(the reference has no published numbers — BASELINE.md).
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def reference_cpu_rate(n: int = 7, samples: int = 300) -> float:
+    """Reference-style per-Hamiltonian cost: structured perturbation +
+    scipy expm + fidelity (noise_model.py:98-109), sequential."""
+    import scipy.linalg
+
+    rng = np.random.default_rng(0)
+    h0 = np.zeros((n, n), dtype=complex)
+    for l in range(1, n):
+        h0[l - 1, l] = h0[l, l - 1] = 1.0
+    x = np.concatenate([rng.uniform(-10, 10, n), [12.0]])
+
+    start = time.perf_counter()
+    acc = 0.0
+    for _ in range(samples):
+        z = np.zeros((n, n), dtype=complex)
+        d = rng.normal(scale=0.05, size=n)
+        nn = rng.normal(scale=0.05, size=n - 1)
+        nn2 = rng.normal(scale=0.05, size=n - 1)
+        z[np.arange(n), np.arange(n)] = d
+        z[np.arange(1, n), np.arange(n - 1)] = nn + 1j * nn2
+        z[np.arange(n - 1), np.arange(1, n)] = nn - 1j * nn2
+        h = h0 + z + np.diag(x[:n])
+        u = scipy.linalg.expm(-1j * abs(x[n]) * h)
+        acc += abs(u[6, 0]) ** 2
+    elapsed = time.perf_counter() - start
+    return samples / elapsed
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from code_robchar_tpu.mc import engine
+    from code_robchar_tpu.ops import chain
+
+    n, n_ctrl, n_noise, bootreps = 7, 10_000, 11, 100
+    total = n_ctrl * n_noise * bootreps
+
+    rng = np.random.default_rng(0)
+    h0 = chain.xx_hamiltonian_real(n, dtype=jnp.float32)
+    ctrl = jnp.asarray(np.column_stack(
+        [rng.uniform(-10, 10, (n_ctrl, n)),
+         rng.uniform(0, 30, n_ctrl)]).astype(np.float32))
+    noises = jnp.asarray(np.linspace(0, 0.1, n_noise).astype(np.float32))
+    key = jax.random.key(0)
+
+    kwargs = dict(bootreps=bootreps, in_spin=0, out_spin=6,
+                  complex_offdiag=True, chunk=32768, use_jacobi=True)
+
+    # warm-up: compile on a small slice AND fetch it — the first
+    # device->host fetch of an executed result pays a large one-time relay
+    # cost on this TPU path, which must not land in the measurement.
+    warm = engine.mc_fidelity_sweep(h0, ctrl[:64], noises, key, 4, 0, 6,
+                                    complex_offdiag=True, chunk=2816,
+                                    use_jacobi=True)
+    np.asarray(warm)
+
+    start = time.perf_counter()
+    fids = engine.mc_fidelity_sweep(h0, ctrl, noises, key, **kwargs)
+    metrics = engine.metric_tensors(fids)
+    jax.block_until_ready(metrics)
+    elapsed = time.perf_counter() - start
+
+    rate = total / elapsed
+    ref_rate = reference_cpu_rate(n)
+    print(json.dumps({
+        "metric": "MC robustness characterisation, N=7, 10k controllers "
+                  "x 11 noise levels x 100 bootreps (Hamiltonians/sec, "
+                  "incl. metric tensors)",
+        "value": round(rate, 1),
+        "unit": "Hamiltonians/sec",
+        "vs_baseline": round(rate / ref_rate, 1),
+        "wall_seconds": round(elapsed, 2),
+        "reference_cpu_rate": round(ref_rate, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""Kendall-tau rank-consistency analysis (figs 4, 7, 9 + alternatives).
+
+Rebuild of generate_fig4_kendallrankanalysis.py's KTRConsitency: how stable
+are RIM-based controller *rankings* across simulation noise levels?
+
+- clustered "little-r" rank assignment: controllers whose RIM differ by
+  less than r = alpha * range share a rank (reference :146-164,
+  implemented in metrics.stats.clustered_ranks).
+- pairwise Kendall-tau matrices between RIM rankings at different
+  sigma_sim, gated by the Von-Neumann/Bartels independence pre-test with a
+  failure tolerance (reference :83-115).
+- grouped RIM boxplots by (algo, sigma_sim) for fig 7.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+from scipy.signal import detrend
+from scipy.stats import kendalltau
+
+from code_robchar_tpu.mc.datasim import MCDataSim
+from code_robchar_tpu.metrics.stats import clustered_ranks, get_ranks, \
+    vn_test
+
+RIM_KEY = r"$W(.,\delta(x-1))$"
+
+
+class KTRConsistency(MCDataSim):
+    def __init__(self, *args, fig_dir: str = "paperfigs", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.fig_dir = fig_dir
+        os.makedirs(fig_dir, exist_ok=True)
+        self.vn_failures = 0
+
+    # ------------------------------------------------------------ kernels
+
+    def _vn_gate(self, wd_ranks, tolerance: int = 3) -> None:
+        """VN/Bartels randomness pre-test on detrended ranks; failures are
+        tolerated up to ``tolerance`` and counted (reference :83-88)."""
+        try:
+            ok, _ = vn_test(detrend(np.asarray(wd_ranks, float)),
+                            bartels=True)
+            if not ok:
+                self.vn_failures += 1
+        except ValueError:
+            pass  # too few observations for the asymptotic test
+
+    def pairwise_taus(self, rim_tensor: np.ndarray,
+                      alpha: float = 0.05) -> np.ndarray:
+        """tau[j, i] between the clustered ranking at sigma_sim[j] and the
+        dense ranking at sigma_sim[i] (reference jkt_or_ordinaltau_pairwise,
+        :94-120)."""
+        rim_tensor = np.asarray(rim_tensor)
+        nlevels = rim_tensor.shape[0]
+        out = np.zeros((nlevels, nlevels))
+        for j in range(nlevels):
+            r = alpha * (rim_tensor[j].max() - rim_tensor[j].min())
+            ref_ranks = _clustered_with_radius(rim_tensor[j], r)
+            for i in range(nlevels):
+                wd_ranks = get_ranks(rim_tensor[i]) + 1
+                self._vn_gate(wd_ranks)
+                out[j, i] = kendalltau(ref_ranks, wd_ranks).correlation
+        return out
+
+    def _rim(self, algo: str, noise_key, topk: Optional[int]) -> np.ndarray:
+        tn = None if algo == "lbfgs" else noise_key
+        wd = self.get_metrics_dict(tn, self.noises, algoname=algo)[algo]
+        c = np.array(wd[RIM_KEY])
+        u = np.array(wd[RIM_KEY + " upper"])
+        l = np.array(wd[RIM_KEY + " lower"])
+        if topk:
+            c, _, _ = self.get_top_k_by_fid(c, u, l, topk, None)
+        return c
+
+    # -------------------------------------------------------------- plots
+
+    def plot_kendalltaus(self, algo=None, noise_keys=None,
+                         alpha: float = 0.05, figname: str = "fig4"):
+        """Grid of pairwise tau matrices per (algo, sigma_train) plus the
+        'alternative fig 9' tau_{0,j} line plot."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from matplotlib import colors
+
+        algos = [algo] if isinstance(algo, str) else (algo or self.algos)
+        panels = []
+        for alg in algos:
+            keys = [None] if alg == "lbfgs" else [
+                str(k) for k in (noise_keys if noise_keys is not None
+                                 else self.controllers[alg].keys())]
+            for k in keys:
+                taus = self.pairwise_taus(self._rim(alg, k, self.topk),
+                                          alpha)
+                name = "nm" if alg == "nmplus" else alg
+                panels.append((name + ("" if k is None else
+                                       rf" $\sigma_{{train}}$={k}"), taus))
+
+        ncols = min(3, len(panels))
+        nrows = -(-len(panels) // ncols)
+        fig, axes = plt.subplots(nrows, ncols, figsize=(4.5 * ncols,
+                                                        4 * nrows),
+                                 squeeze=False)
+        fig_alt, ax_alt = plt.subplots(figsize=(9, 7))
+        coo = None
+        for axp, (label, taus) in zip(axes.ravel(), panels):
+            coo = axp.pcolor(taus, norm=colors.Normalize(vmin=0, vmax=1),
+                             edgecolors="k", linewidth=1, cmap="viridis")
+            axp.set_title(label + rf" $\alpha$={alpha}", fontsize=11)
+            axp.set_xlabel(r"$\sigma_{sim}^{(i)}$")
+            axp.set_ylabel(r"$\sigma_{sim}^{(j)}$")
+            ax_alt.plot(self.noises, taus[0], marker="o", ms=8, lw=3,
+                        label=label)
+        for axp in axes.ravel()[len(panels):]:
+            fig.delaxes(axp)
+        if coo is not None:
+            fig.colorbar(coo, ax=axes, label=r"$\tilde{\tau}$")
+        path = os.path.join(self.fig_dir, f"{figname}.pdf")
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+
+        ax_alt.set_xlabel(r"$\sigma_{sim}^{(j)}$", fontsize=16)
+        ax_alt.set_ylabel(r"$\tilde{\tau}_{0,j}$", fontsize=16)
+        ax_alt.legend(fontsize=10)
+        alt_path = os.path.join(self.fig_dir, f"{figname}_alt9.pdf")
+        fig_alt.savefig(alt_path, bbox_inches="tight")
+        plt.close(fig_alt)
+        return path, alt_path
+
+    def plot_grouped_boxplots(self, algos: Optional[List[str]] = None,
+                              noise_keys=None, figname: str = "fig7"):
+        """Grouped RIM boxplots by algo across sigma_sim, one panel per
+        sigma_train, lbfgs added to the noiseless panel (reference
+        :304-348)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import pandas as pd
+
+        algos = algos or [a for a in self.algos if a != "lbfgs"]
+        keys = [str(k) for k in (noise_keys if noise_keys is not None
+                                 else self.controllers[algos[0]].keys())]
+        nrows = -(-len(keys) // 2)
+        fig, axes = plt.subplots(nrows, 2, figsize=(14, 5 * nrows),
+                                 squeeze=False)
+        flat = axes.ravel()
+        for i, k in enumerate(keys):
+            rows = []
+            for alg in algos:
+                c = self._rim(alg, k, self.topk)
+                for j in range(c.shape[0]):
+                    for vv in c[j]:
+                        rows.append({"noise": round(float(self.noises[j]),
+                                                    3),
+                                     "wd": vv, "algo": alg})
+            if i == 0 and "lbfgs" in self.algos:
+                c = self._rim("lbfgs", None, self.topk)
+                for j in range(c.shape[0]):
+                    for vv in c[j]:
+                        rows.append({"noise": round(float(self.noises[j]),
+                                                    3),
+                                     "wd": vv, "algo": "lbfgs"})
+            df = pd.DataFrame(rows)
+            try:
+                import seaborn as sns
+                sns.boxplot(data=df, x="noise", y="wd", hue="algo",
+                            ax=flat[i], width=0.6, whis=1.7)
+            except ImportError:
+                df.boxplot(column="wd", by="noise", ax=flat[i])
+            flat[i].set_title(rf"$\sigma_{{train}}$={k}")
+            flat[i].set_ylabel("RIM")
+            flat[i].set_xlabel(r"$\sigma_{sim}$")
+        for axp in flat[len(keys):]:
+            fig.delaxes(axp)
+        path = os.path.join(self.fig_dir, f"{figname}_grouped.pdf")
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+        return path
+
+
+def _clustered_with_radius(values: np.ndarray, radius: float) -> np.ndarray:
+    """Clustered ranks with an absolute radius (reference
+    get_ranks_clustered_little, :146-164): walk the sorted values; a value
+    farther than ``radius`` from the current cluster seed opens a new
+    rank."""
+    values = np.asarray(values, float)
+    order = np.argsort(values)
+    srt = values[order]
+    ranks_sorted = np.zeros(len(srt))
+    rank = 0
+    seed = srt[0] if len(srt) else 0.0
+    for idx in range(1, len(srt)):
+        if srt[idx] - seed > radius:
+            rank += 1
+            seed = srt[idx]
+        ranks_sorted[idx] = rank
+    out = np.zeros(len(srt))
+    out[order] = ranks_sorted
+    return out

@@ -1,0 +1,161 @@
+"""ARIM vs function-call scaling (fig 8).
+
+Rebuild of gen_fig_8_arim_fcall_scaling.py's NStochOpt: for each function-
+call checkpoint of the .le_nsh (fixed-ham "nonstoch") and .le_sh
+(stochastic) controller sets, compute per-controller RIMs over the noise
+grid and average into a per-checkpoint ARIM curve; cache per
+(algo, sigma_train, marker) as .pickle; plot stoch-vs-nonstoch scaling for
+the four algorithms plus the lbfgs no-noise bench line.
+
+TPU-native difference: the reference evaluates ~4.4e6 sequential expms per
+(algo, sigma) if uncached (SURVEY.md §3.4); here each checkpoint's
+(noise x controller x bootrep) lattice is one jitted MC sweep, and the
+"RIM" here is mean infidelity 1 - mean(F) per the reference's get_rims
+(gen_fig_8:121-132) — mirrored exactly, not the sorted-CDF RIM.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from code_robchar_tpu.mc import engine
+from code_robchar_tpu.mc.datasim import MCDataSim
+
+
+class NStochOpt(MCDataSim):
+    def __init__(self, *args, fig_dir: str = "paperfigs",
+                 autoplot: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.fig_dir = fig_dir
+        os.makedirs(fig_dir, exist_ok=True)
+        try:
+            self.c_dict_nsh = self.loadsimdata(self.get_controller_name +
+                                               "_nsh")
+            self.c_dict_sh = self.loadsimdata(self.get_controller_name +
+                                              "_sh")
+            self.lbfgs_no_noise_bench_nlvl = "0.0"
+        except FileNotFoundError:
+            self.c_dict_nsh = self.loadsimdata(self.get_controller_name)
+            self.c_dict_sh = self.loadsimdata(self.get_controller_name)
+            self.lbfgs_no_noise_bench_nlvl = ""
+        self.plot_colors = ["blue", "orange", "gold", "green"]
+        self.figlabels = [f"({c})" for c in "abcdefghijklmnopqrstuvwxyz"]
+        if autoplot:
+            self.all_noises_combined_scaling_plot()
+
+    # ----------------------------------------------------------- kernels
+
+    def get_rims(self, cont) -> np.ndarray:
+        """Per-noise mean infidelity of one controller, bootstrapped
+        (gen_fig_8:121-132), as one device sweep."""
+        fids = engine.mc_fidelity_sweep(
+            self._h0, jnp.asarray(np.asarray(cont, float))[None, :],
+            jnp.asarray(self.noises), jax.random.key(self.seed),
+            self.bootreps, self.inspin, self.outspin, complex_offdiag=True)
+        return 1.0 - np.array(fids).mean(axis=-1)[:, 0]
+
+    def get_arims(self, algo: str = "lbfgs", nlvl: str = "0.01",
+                  marker: str = "", cdict: Optional[Dict] = None):
+        """(checkpoints, noise_res) per-checkpoint ARIM tensor, pickle-
+        cached by the reference's filename convention (gen_fig_8:39-68).
+        Checkpoints holding fewer than numcontrollers controllers are
+        dropped, as in the reference."""
+        save = (self.get_controller_name + "_arims_" + algo + nlvl +
+                marker + ".pickle")
+        if os.path.exists(save):
+            with open(save, "rb") as f:
+                return pickle.load(f), None
+        if cdict is None or algo not in cdict:
+            raise KeyError(f"algo {algo!r} not in controller dict")
+        fcall_dict = dict(cdict[algo][nlvl])
+        for key in list(fcall_dict):
+            if len(fcall_dict[key]) < self.numcontrollers:
+                fcall_dict.pop(key)
+        new_keys = list(fcall_dict)
+
+        arims = np.zeros((len(fcall_dict), len(self.noises)))
+        for j, fcall in enumerate(fcall_dict):
+            conts = np.asarray(fcall_dict[fcall], dtype=float)
+            # whole checkpoint in ONE sweep: (L, C, B) -> mean over B,
+            # 1 - F, then average over controllers
+            fids = engine.mc_fidelity_sweep(
+                self._h0, jnp.asarray(conts), jnp.asarray(self.noises),
+                jax.random.key(self.seed), self.bootreps, self.inspin,
+                self.outspin, complex_offdiag=True)
+            rims_all = 1.0 - np.array(fids).mean(axis=-1)   # (L, C)
+            arims[j] = rims_all.sum(axis=1) / len(conts)
+        with open(save, "wb") as f:
+            pickle.dump(arims, f)
+        return arims, new_keys
+
+    # -------------------------------------------------------------- plots
+
+    def combined_scaling_plot(self, ax, ind: int, nlvl=0.01,
+                              max_checkpoints: int = 40):
+        nlvl = str(nlvl)
+        for marker, cdict in zip(["nonstoch", ""],
+                                 (self.c_dict_nsh, self.c_dict_sh)):
+            for i, algo in enumerate(["lbfgs", "ppo", "snob", "nmplus"]):
+                algoname = "nm" if algo == "nmplus" else algo
+                try:
+                    arims, _ = self.get_arims(algo, nlvl=nlvl,
+                                              marker=marker, cdict=cdict)
+                except KeyError:
+                    continue
+                fcalls = (np.arange(len(arims)) * 1e6).astype(int)
+                mean_arim = arims.mean(axis=-1)[:max_checkpoints]
+                boot_std = self.bootstrap_resampling_std(
+                    lambda v: jnp.mean(v, axis=-1), mean_arim, 100)
+                if marker == "" and algo != "ppo":
+                    label = None
+                elif marker == "" and algo == "ppo":
+                    label = "stoch ppo and others"
+                else:
+                    label = f"{algoname} {marker}"
+                ax.set_ylim(0, 0.8)
+                ax.plot(fcalls[:max_checkpoints], mean_arim, label=label,
+                        color=self.plot_colors[i],
+                        linestyle="--" if marker == "" else "-")
+                ax.fill_between(fcalls[:max_checkpoints],
+                                mean_arim - 2 * boot_std,
+                                mean_arim + 2 * boot_std, alpha=0.2,
+                                color=self.plot_colors[i])
+        try:
+            ref, _ = self.get_arims(
+                "lbfgs", nlvl=self.lbfgs_no_noise_bench_nlvl, marker="",
+                cdict=self.c_dict_sh)
+            fcalls = (np.arange(len(ref)) * 1e6).astype(int)
+            ax.plot(fcalls[:max_checkpoints],
+                    ref.mean(axis=-1)[:max_checkpoints],
+                    label="lbfgs no-noise bench", color="gray",
+                    linestyle="dotted")
+        except KeyError:
+            pass
+        ax.set_title(self.figlabels[ind] +
+                     rf" $\sigma_{{train}}$={nlvl}", fontsize=13)
+
+    def all_noises_combined_scaling_plot(self, nlvls=(0.01, 0.05, 0.1),
+                                         figname: str =
+                                         "fig8_arim_scaling_all"):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(ncols=len(nlvls), figsize=(13, 4))
+        axes = np.atleast_1d(axes).ravel()
+        axes[len(nlvls) // 2].set_xlabel("function calls", fontsize=13)
+        axes[0].set_ylabel(r"average ARIM across all $\sigma_{sim}$",
+                           fontsize=12)
+        for i, noise in enumerate(nlvls):
+            self.combined_scaling_plot(axes[i], i, nlvl=noise)
+        axes[-1].legend(fontsize=8)
+        path = os.path.join(self.fig_dir, f"{figname}.pdf")
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+        return path

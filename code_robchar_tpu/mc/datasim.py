@@ -81,7 +81,7 @@ class MCDataSim:
             self.controllers = None
             self.algos = None
 
-        self._h0 = chain.xx_hamiltonian(Nspin)
+        self._h0 = chain.xx_hamiltonian_real(Nspin)
 
     # ------------------------------------------------------------- loading
 

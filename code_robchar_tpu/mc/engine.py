@@ -32,20 +32,33 @@ import numpy as np
 from code_robchar_tpu.metrics.rim import (
     wd_from_ideal, wd_from_ideal_zero, compute_dkw_error)
 from code_robchar_tpu.metrics.stats import metric_registry
-from code_robchar_tpu.ops.noise import structured_perturbation
+from code_robchar_tpu.ops import realform
+from code_robchar_tpu.ops.noise import (structured_perturbation,
+                                        structured_perturbation_parts)
 from code_robchar_tpu.ops.propagate import fidelity_from_controller
-from code_robchar_tpu.ops.eigh import jacobi_eigh
 
 DEFAULT_CHUNK = 8192
 
 
-def _element_kernel(h0, x, scale, key, in_spin, out_spin, complex_offdiag,
-                    eigh):
-    n = h0.shape[-1]
+def _element_kernel(h0r, x, scale, key, in_spin, out_spin, complex_offdiag,
+                    use_jacobi):
+    """One lattice element in split-real arithmetic (TPU backends expose no
+    complex dtype; see ops/realform.py).  ``use_jacobi=False`` is the
+    LAPACK parity path (CPU only): reconstructs the complex Hermitian and
+    uses jnp.linalg.eigh."""
+    n = h0r.shape[-1]
+    if use_jacobi:
+        zr, zi = structured_perturbation_parts(
+            key, n, scale, complex_offdiag=complex_offdiag, dtype=h0r.dtype)
+        ar = h0r + zr + jnp.eye(n, dtype=h0r.dtype) * x[..., None, :n]
+        return realform.fidelity_herm(ar, zi, jnp.abs(x[n]), in_spin,
+                                      out_spin)
+    h0c = h0r.astype(jnp.complex128 if h0r.dtype == jnp.float64
+                     else jnp.complex64)
     z = structured_perturbation(key, n, scale,
                                 complex_offdiag=complex_offdiag,
-                                dtype=h0.dtype)
-    return fidelity_from_controller(h0 + z, x, in_spin, out_spin, eigh=eigh)
+                                dtype=h0c.dtype)
+    return fidelity_from_controller(h0c + z, x, in_spin, out_spin)
 
 
 def _sweep_core(h0, ctrl, noises, key, bootreps, in_spin, out_spin,
@@ -60,7 +73,7 @@ def _sweep_core(h0, ctrl, noises, key, bootreps, in_spin, out_spin,
     num_l = noises.shape[0]
     num_c = ctrl.shape[0]
     total = num_l * num_c * bootreps
-    eigh = jacobi_eigh if use_jacobi else jnp.linalg.eigh
+    h0r = jnp.real(h0) if jnp.iscomplexobj(h0) else h0
 
     chunk = min(chunk, total)
     padded = -(-total // chunk) * chunk
@@ -74,8 +87,8 @@ def _sweep_core(h0, ctrl, noises, key, bootreps, in_spin, out_spin,
     def elem(args):
         lid, cid, gid = args
         k = jax.random.fold_in(key, gid)
-        return _element_kernel(h0, ctrl[cid], noises[lid], k, in_spin,
-                               out_spin, complex_offdiag, eigh)
+        return _element_kernel(h0r, ctrl[cid], noises[lid], k, in_spin,
+                               out_spin, complex_offdiag, use_jacobi)
 
     def do_chunk(args):
         return jax.vmap(elem)(args)

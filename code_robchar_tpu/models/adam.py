@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from code_robchar_tpu.models import objectives
 from code_robchar_tpu.models.base import BatchResult, ControlOptimizer
-from code_robchar_tpu.ops.propagate import fidelity_from_controller
+from code_robchar_tpu.ops.realform import fidelity_from_controller_sym
 
 _BETA1, _BETA2 = 0.9, 0.999
 _RESTART_EVERY = 5000
@@ -45,7 +45,7 @@ class Adam(ControlOptimizer):
         spec = self.spec()
         exact = objectives.make_exact_gradient(spec)
         infid_eval = objectives.make_infidelity(spec)
-        h0, in_spin, out_spin = self.HH, self.In, self.Out
+        h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
         lower, upper = self._lower, self._upper
         eta, gate = self.eta, self.grad_gate
         seg = self.segment_its
@@ -81,7 +81,7 @@ class Adam(ControlOptimizer):
                     step, (w, m, v, it, key), None, length=seg)
                 e, _ = infid_eval(w, jax.random.fold_in(key, 7))
                 fid = 1.0 - e
-                true = fidelity_from_controller(h0, w, in_spin, out_spin)
+                true = fidelity_from_controller_sym(h0, w, in_spin, out_spin)
                 return w, m, v, it, fid, true, jnp.sum(calls)
 
             return jax.vmap(one)(w0, m0, v0, it0, keys)

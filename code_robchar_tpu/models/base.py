@@ -25,9 +25,7 @@ import jax.numpy as jnp
 
 from code_robchar_tpu import config
 from code_robchar_tpu.models import objectives
-from code_robchar_tpu.ops import chain, noise as noise_ops, sobol
-from code_robchar_tpu.ops.propagate import (
-    fidelity_from_controller, infidelity_and_gradient, overlap_ss)
+from code_robchar_tpu.ops import chain, noise as noise_ops, realform, sobol
 from code_robchar_tpu.utils.record import RunRecord, TopControllers
 from code_robchar_tpu.utils.timeout import Deadline, TimeoutError_
 
@@ -93,8 +91,11 @@ class ControlOptimizer:
 
         assert self.Tmax >= self.Tmin and self.Bmax >= self.Bmin
 
-        self.HH = chain.xx_hamiltonian(nspin, topo=self.topo,
-                                       heisenberg=heisenberg_int)
+        # the drift is REAL symmetric; no complex array is ever created on
+        # the production path (TPU backends lack complex support — see
+        # ops/realform.py).
+        self.HH = chain.xx_hamiltonian_real(nspin, topo=self.topo,
+                                            heisenberg=heisenberg_int)
         self.val_bounds = [(self.Bmin, self.Bmax)] * nspin + \
             [(self.Tmin, self.Tmax)]
         self._lower = jnp.asarray([b[0] for b in self.val_bounds])
@@ -151,22 +152,23 @@ class ControlOptimizer:
         return self.HH
 
     def controls(self):
-        return chain.control_projectors(self.Nspin)
+        return chain.control_projectors(self.Nspin, dtype=self.HH.dtype)
 
     def structured_perturabation(self):  # reference spelling kept
-        return noise_ops.structured_perturbation(
-            self.next_key(), self.Nspin, self.noise, complex_offdiag=False)
+        zr, _ = noise_ops.structured_perturbation_parts(
+            self.next_key(), self.Nspin, self.noise, complex_offdiag=False,
+            dtype=self.HH.dtype)
+        return zr
 
     def fidelity_ss(self, x, noisy=False, ham_noisy=False,
                     use_fixed_ham=False, rH=None):
         """Host convenience mirroring qnewton.py:383-423."""
         x = jnp.asarray(x)
-        h = jnp.asarray(rH) if use_fixed_ham and rH is not None else self.HH
+        h = jnp.real(jnp.asarray(rH)) if use_fixed_ham and rH is not None \
+            else self.HH
         if ham_noisy:
-            h = h + noise_ops.structured_perturbation(
-                self.next_key(), self.Nspin, self.noise,
-                complex_offdiag=False, dtype=h.dtype)
-        fid = fidelity_from_controller(h, x, self.In, self.Out)
+            h = h + self.structured_perturabation()
+        fid = realform.fidelity_from_controller_sym(h, x, self.In, self.Out)
         if not noisy:
             return float(fid)
         if not self.adaptive:
@@ -178,17 +180,23 @@ class ControlOptimizer:
 
     def fidelity_ss_av(self, x, test=False):
         hams = self.randH_test if test else self.randH
-        fids = jax.vmap(lambda h: fidelity_from_controller(
+        fids = jax.vmap(lambda h: realform.fidelity_from_controller_sym(
             h, jnp.asarray(x), self.In, self.Out))(hams)
         return float(jnp.mean(fids))
 
     def eval_static_fidelity_gradient(self, x):
-        err, grad = infidelity_and_gradient(self.HH, jnp.asarray(x),
-                                            self.In, self.Out)
+        err, grad = realform.infidelity_and_gradient_sym(
+            self.HH, jnp.asarray(x), self.In, self.Out)
         return float(err), np.asarray(grad)
 
     def overlap_ss(self, x):
-        return float(overlap_ss(self.HH, jnp.asarray(x), self.In, self.Out))
+        """Steady-state overlap (qnewton.py:214-224) on the real drift:
+        sum_k |V[in,k]|^2 |V[out,k]|^2."""
+        x = jnp.asarray(x)
+        h = self.HH + jnp.eye(self.Nspin, dtype=self.HH.dtype) * \
+            x[:self.Nspin]
+        _, v = realform.jacobi_eigh_sym(h)
+        return float(jnp.sum((v[self.In, :] ** 2) * (v[self.Out, :] ** 2)))
 
     def wass_cost(self, x, bootstrap_reps=5):
         cost = objectives.make_wass_cost(self.spec(), bootstrap_reps)

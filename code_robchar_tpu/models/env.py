@@ -33,8 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from code_robchar_tpu.ops import chain, noise as noise_ops
-from code_robchar_tpu.ops.propagate import propagator, transfer_fidelity
+from code_robchar_tpu.ops import chain, noise as noise_ops, realform
 
 
 class EnvConfig(NamedTuple):
@@ -80,8 +79,14 @@ def env_step(cfg: EnvConfig, h0: jnp.ndarray, state: EnvState,
              a_bias: jnp.ndarray, a_time: jnp.ndarray, key: jax.Array,
              fixed_hams: Optional[jnp.ndarray] = None):
     """One control step.  Returns (state', obs, reward, true_fid, done,
-    fcalls) — fcalls carries the shot-noise draw accounting in-band."""
+    fcalls) — fcalls carries the shot-noise draw accounting in-band.
+
+    ``h0`` (and ``fixed_hams``) are REAL symmetric: the training-side
+    physics never leaves the reals (SURVEY.md quirk 7), so the whole step
+    runs on the split-real kernels (ops/realform.py) — TPU-safe.
+    """
     kh, ks = jax.random.split(key)
+    h0 = jnp.real(h0) if jnp.iscomplexobj(h0) else h0
 
     action = _wrap_action(state.action + a_bias, cfg.bmax)
     raw_t = state.timestep + a_time
@@ -92,20 +97,31 @@ def env_step(cfg: EnvConfig, h0: jnp.ndarray, state: EnvState,
     hc = h0 + jnp.eye(cfg.n, dtype=h0.dtype) * action.astype(h0.dtype)
 
     if fixed_hams is not None:
-        # averaged-propagator path (RLreinforce...:153-162)
+        # averaged-propagator path (RLreinforce...:153-162): only the
+        # (out, in) amplitude of the ensemble-mean propagator is needed,
+        # so average the per-ensemble transfer amplitudes.
+        fixed_r = jnp.real(fixed_hams) if jnp.iscomplexobj(fixed_hams) \
+            else fixed_hams
         bias = jnp.eye(cfg.n, dtype=h0.dtype) * action.astype(h0.dtype)
-        us = jax.vmap(lambda h: propagator(h + bias, t))(fixed_hams)
-        u_mean = jnp.mean(us, axis=0)
-        amp = u_mean[cfg.out_spin, cfg.in_spin]
-        fid = (amp * amp.conj()).real
+
+        def amp(h):
+            lam, v = realform.jacobi_eigh_sym(h + bias)
+            w = v[cfg.out_spin, :] * v[cfg.in_spin, :]
+            ang = lam * t
+            return jnp.sum(w * jnp.cos(ang)), jnp.sum(w * -jnp.sin(ang))
+
+        ar, ai = jax.vmap(amp)(fixed_r)
+        amp_r, amp_i = jnp.mean(ar), jnp.mean(ai)
+        fid = amp_r * amp_r + amp_i * amp_i
     else:
         h = hc
         if cfg.ham_noisy:
-            h = h + noise_ops.structured_perturbation(
+            zr, _ = noise_ops.structured_perturbation_parts(
                 kh, cfg.n, cfg.noise, complex_offdiag=False, dtype=h.dtype)
-        fid = transfer_fidelity(h, t, cfg.in_spin, cfg.out_spin)
+            h = h + zr
+        fid = realform.fidelity_sym(h, t, cfg.in_spin, cfg.out_spin)
 
-    true_fid = transfer_fidelity(hc, t, cfg.in_spin, cfg.out_spin)
+    true_fid = realform.fidelity_sym(hc, t, cfg.in_spin, cfg.out_spin)
 
     fcalls = jnp.asarray(1, jnp.int32)
     reward = fid
@@ -150,12 +166,12 @@ class Environment:
         self.ham_noisy = ham_noisy
         self._key = jax.random.key(seed)
 
-        self.sys = chain.xx_hamiltonian(nspin, topo=topo,
-                                        heisenberg=heisenberg_int)
+        self.sys = chain.xx_hamiltonian_real(nspin, topo=topo,
+                                             heisenberg=heisenberg_int)
         if transfer_learning:
             # perturbed system with its diagonal masked off
             # (RLreinforce...:30-35)
-            pert = noise_ops.structured_perturbation(
+            pert, _ = noise_ops.structured_perturbation_parts(
                 self._next(), nspin, 0.1, complex_offdiag=False,
                 dtype=self.sys.dtype)
             mask = 1.0 - jnp.eye(nspin, dtype=self.sys.dtype)
@@ -230,7 +246,6 @@ class Environment:
     def true_fid(self, action_matrix, timestep_n=None):
         t = self.timestep if timestep_n is None else timestep_n
         a = jnp.asarray(np.diag(np.asarray(action_matrix)))
-        h = self.sys + jnp.eye(self.Nspin, dtype=self.sys.dtype) * \
-            a.astype(self.sys.dtype)
-        return float(transfer_fidelity(h, jnp.asarray(float(t)),
-                                       self.in_spin, self.out_spin))
+        hr = jnp.real(self.sys) + jnp.eye(self.Nspin) * a
+        return float(realform.fidelity_sym(hr, jnp.asarray(float(t)),
+                                           self.in_spin, self.out_spin))

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from code_robchar_tpu.models import objectives
 from code_robchar_tpu.models.base import BatchResult, ControlOptimizer
-from code_robchar_tpu.ops.propagate import fidelity_from_controller
+from code_robchar_tpu.ops.realform import fidelity_from_controller_sym
 
 _M = 10          # history pairs (scipy default)
 _C1 = 1e-4       # Armijo sufficient decrease
@@ -207,7 +207,7 @@ class LBFGS(ControlOptimizer):
         # scipy path uses maxfun=500 when noisy (qnewton.py:513-514) and its
         # default (effectively unbounded here) when noiseless.
         maxfun = 500 if noisy else 3000
-        h0, in_spin, out_spin = self.HH, self.In, self.Out
+        h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
 
         if noisy:
             infid = objectives.make_infidelity(spec)
@@ -240,7 +240,7 @@ class LBFGS(ControlOptimizer):
                     # (qnewton.py:533-535)
                     e, _ = infid_eval(st.x, jax.random.fold_in(key, 1))
                     fid_train = 1.0 - e
-                    true = fidelity_from_controller(h0, st.x, in_spin,
+                    true = fidelity_from_controller_sym(h0, st.x, in_spin,
                                                     out_spin)
                 return st.x, fid_train, true, st.nfev * bill_mul, st.nit
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from code_robchar_tpu.models import objectives
 from code_robchar_tpu.models.base import BatchResult, ControlOptimizer
-from code_robchar_tpu.ops.propagate import fidelity_from_controller
+from code_robchar_tpu.ops.realform import fidelity_from_controller_sym
 
 _ALPHA, _GAMMA, _RHO, _SIGMA = 1.0, 2.0, 0.5, 0.5
 
@@ -162,7 +162,7 @@ class NMPlus(ControlOptimizer):
         infid = objectives.make_infidelity(spec)
         lower, upper = self._lower, self._upper
         maxfev = self.maxfev
-        h0, in_spin, out_spin = self.HH, self.In, self.Out
+        h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
         mul = spec.mul_fac
 
         @jax.jit
@@ -182,7 +182,7 @@ class NMPlus(ControlOptimizer):
                 else:
                     e, _ = infid(x, jax.random.fold_in(key, 3))
                     fid = 1.0 - e
-                    true = fidelity_from_controller(h0, x, in_spin, out_spin)
+                    true = fidelity_from_controller_sym(h0, x, in_spin, out_spin)
                 return x, fid, true, nfev * mul, nit * mul
 
             xs, fids, trues, nfev, nit = jax.vmap(one)(x0s, keys)

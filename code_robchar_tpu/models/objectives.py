@@ -25,9 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from code_robchar_tpu.metrics.rim import wd_from_ideal
-from code_robchar_tpu.ops import noise as noise_ops
-from code_robchar_tpu.ops.propagate import (
-    fidelity_from_controller, infidelity_and_gradient)
+from code_robchar_tpu.ops import noise as noise_ops, realform
 
 
 class ObjectiveSpec(NamedTuple):
@@ -47,20 +45,30 @@ class ObjectiveSpec(NamedTuple):
 def make_infidelity(spec: ObjectiveSpec
                     ) -> Callable[[jnp.ndarray, jax.Array],
                                   Tuple[jnp.ndarray, jnp.ndarray]]:
-    """(x, key) -> (infidelity, fcall_increment)."""
-    n = spec.h0.shape[-1]
+    """(x, key) -> (infidelity, fcall_increment).
 
-    def clean_fid(h0, x):
-        return fidelity_from_controller(h0, x, spec.in_spin, spec.out_spin)
+    The whole training path is REAL symmetric (XX drift + real training
+    noise, SURVEY.md quirk 7), so everything runs on the split-real
+    kernels — no complex dtype, TPU-safe (ops/realform.py).
+    """
+    n = spec.h0.shape[-1]
+    h0r = jnp.real(spec.h0)
+    fixed_r = jnp.real(spec.fixed_hams) if spec.fixed_hams is not None \
+        else None
+
+    def clean_fid(hr, x):
+        return realform.fidelity_from_controller_sym(
+            hr, x, spec.in_spin, spec.out_spin)
 
     def one_fid(x, key):
         kh, ks = jax.random.split(key)
-        h = spec.h0
+        h = h0r
         if spec.ham_noisy:
             # training-side noise is the REAL-offdiagonal variant
             # (qnewton.py:366-379; SURVEY.md quirk 7)
-            h = h + noise_ops.structured_perturbation(
+            zr, _ = noise_ops.structured_perturbation_parts(
                 kh, n, spec.noise, complex_offdiag=False, dtype=h.dtype)
+            h = h + zr
         fid = clean_fid(h, x)
         if spec.fid_noisy:
             if spec.adaptive:
@@ -76,7 +84,7 @@ def make_infidelity(spec: ObjectiveSpec
             # RAW call count (1); the train_size multiplier (qnewton.py:558,
             # nmplus.py:252) is applied by each optimizer's billing layer so
             # the reference's per-optimizer accounting quirks stay local.
-            fids = jax.vmap(lambda h: clean_fid(h, x))(spec.fixed_hams)
+            fids = jax.vmap(lambda h: clean_fid(h, x))(fixed_r)
             fid = jnp.mean(fids)
             if spec.fid_noisy:
                 fid = noise_ops.shot_noise_fidelity(key, fid, spec.draws)
@@ -91,10 +99,13 @@ def make_infidelity(spec: ObjectiveSpec
 
 def make_exact_gradient(spec: ObjectiveSpec):
     """(x) -> (infidelity, grad): the analytic eigenbasis gradient
-    (noiseless drift; the reference's exact-gradient path qnewton.py:497)."""
+    (noiseless drift; the reference's exact-gradient path qnewton.py:497),
+    on the split-real kernels."""
+    h0r = jnp.real(spec.h0)
+
     def f(x):
-        return infidelity_and_gradient(spec.h0, x, spec.in_spin,
-                                       spec.out_spin)
+        return realform.infidelity_and_gradient_sym(h0r, x, spec.in_spin,
+                                                    spec.out_spin)
     return f
 
 
@@ -120,15 +131,16 @@ def make_wass_cost(spec: ObjectiveSpec, bootstrap_reps: int = 5):
     ``bootstrap_reps`` ham-noisy fidelity draws around x.  Note the
     reference probes with the real-offdiagonal training noise."""
     n = spec.h0.shape[-1]
+    h0r = jnp.real(spec.h0)
 
     def cost(x, key):
         keys = jax.random.split(key, bootstrap_reps)
 
         def draw(k):
-            h = spec.h0 + noise_ops.structured_perturbation(
-                k, n, spec.noise, complex_offdiag=False, dtype=spec.h0.dtype)
-            return fidelity_from_controller(h, x, spec.in_spin,
-                                            spec.out_spin)
+            zr, _ = noise_ops.structured_perturbation_parts(
+                k, n, spec.noise, complex_offdiag=False, dtype=h0r.dtype)
+            return realform.fidelity_from_controller_sym(
+                h0r + zr, x, spec.in_spin, spec.out_spin)
         fids = jax.vmap(draw)(keys)
         return wd_from_ideal(jnp.clip(fids, 0.0, 1.0))
     return cost

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from code_robchar_tpu.models import objectives
 from code_robchar_tpu.models.base import BatchResult, ControlOptimizer
-from code_robchar_tpu.ops.propagate import fidelity_from_controller
+from code_robchar_tpu.ops.realform import fidelity_from_controller_sym
 
 _Q = 10          # candidates per round (SNOBFIT's default nreq ~ n+6)
 _SHRINK = 0.7    # trust-radius shrink on a failed round
@@ -109,7 +109,7 @@ class SNOB(ControlOptimizer):
         infid = objectives.make_infidelity(spec)
         lower, upper = self._lower, self._upper
         budget = self.budget
-        h0, in_spin, out_spin = self.HH, self.In, self.Out
+        h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
         # reference accounting: funccalls += budget (*train_size when
         # fixed-ham), regardless of the solver's internal eval count
         # (qnewton.py:862-866); adaptive uses the in-band increments.
@@ -125,7 +125,7 @@ class SNOB(ControlOptimizer):
                 else:
                     e, _ = infid(x, jax.random.fold_in(key, 5))
                     fid = 1.0 - e
-                    true = fidelity_from_controller(h0, x, in_spin, out_spin)
+                    true = fidelity_from_controller_sym(h0, x, in_spin, out_spin)
                 billed = (nfev if flat_bill is None
                           else jnp.asarray(flat_bill, jnp.int32))
                 return x, fid, true, billed, jnp.asarray(0, jnp.int32)

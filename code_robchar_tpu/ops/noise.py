@@ -67,6 +67,32 @@ def structured_perturbation(key: jax.Array, n: int, scale: jnp.ndarray,
     return z
 
 
+def structured_perturbation_parts(key: jax.Array, n: int, scale: jnp.ndarray,
+                                  complex_offdiag: bool = True, dtype=None):
+    """Split-real form of ``structured_perturbation``: returns (zr, zi)
+    with zr symmetric (diag + nn real couplings) and zi antisymmetric
+    (+nn2 at (i, i-1), -nn2 at (i-1, i) — the imaginary part of the
+    Hermitian complex variant).  Same per-key draws as the complex form:
+    folding the same key yields z == zr + 1j*zi (pinned in tests).
+
+    This is the TPU production path — no complex dtype is ever formed.
+    """
+    if dtype is None:
+        dtype = jnp.zeros((), config.complex_dtype()).real.dtype
+    kd, kn, k2 = jax.random.split(key, 3)
+    scale = jnp.asarray(scale, dtype)
+    diag = jax.random.normal(kd, (n,), dtype) * scale
+    nn = jax.random.normal(kn, (n - 1,), dtype) * scale
+    zr = jnp.zeros((n, n), dtype) + jnp.diag(diag) \
+        + jnp.diag(nn, k=-1) + jnp.diag(nn, k=1)
+    if complex_offdiag:
+        nn2 = jax.random.normal(k2, (n - 1,), dtype) * scale
+        zi = jnp.diag(nn2, k=-1) - jnp.diag(nn2, k=1)
+    else:
+        zi = jnp.zeros((n, n), dtype)
+    return zr, zi
+
+
 def _direction_table(n: int) -> jnp.ndarray:
     """Hermitian-pair index table of directional_perturbation
     (noise_model.py:155-163): corners, the tridiagonal band of interior

@@ -1,0 +1,305 @@
+"""Split real/imaginary formulations of the hot kernels.
+
+TPU backends expose no complex dtype on the hot path (and XLA emulates
+complex as (re, im) pairs regardless), so every production kernel here is
+written in pure REAL arithmetic:
+
+- the *training* path (optimizer objectives, RL env): Hamiltonians are
+  genuinely real symmetric — the XX drift is real and the training-side
+  structured perturbation has real couplings (qnewton.py:366-379,
+  RLreinforce...:122-133).  ``jacobi_eigh_sym`` + ``fidelity_sym`` +
+  ``infidelity_and_gradient_sym`` run on n x n real matrices.
+- the *characterisation* path (MC engine): noise_model.py:139-146 makes
+  couplings complex, so ``jacobi_eigh_herm`` runs the complex-Hermitian
+  Jacobi with the matrix split as (ar, ai), ar symmetric / ai
+  antisymmetric, and ``fidelity_herm`` expands the transfer amplitude in
+  parts.
+
+Numerical contract: at float64 these agree with the complex
+implementations in ops/propagate.py to <=1e-10 (tests/test_realform.py);
+at float32 on TPU they are the throughput regime.
+
+The propagator itself is never materialised: for a transfer fidelity only
+the (out, in) amplitude phi = sum_k V[out,k] e^{-i T l_k} conj(V[in,k]) is
+contracted, and e^{-i T l} is carried as (cos(T l), -sin(T l)).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_DEG_EPS = 1e-9
+
+
+def _sweeps_for(dtype, n) -> int:
+    bits = jnp.finfo(dtype).bits
+    return (6 if bits <= 32 else 9) + (2 if n > 8 else 0)
+
+
+def _eps_for(dtype) -> float:
+    return 1e-7 if jnp.finfo(dtype).bits <= 32 else 1e-15
+
+
+# --------------------------------------------------------------------------
+# real symmetric Jacobi
+# --------------------------------------------------------------------------
+
+def _sym_rotation(app, aqq, apq, eps):
+    r = jnp.abs(apq)
+    active = r > eps * (jnp.abs(app) + jnp.abs(aqq) + r)
+    safe = jnp.where(active, apq, 1.0)
+    tau = (aqq - app) / (2.0 * safe)
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(tau == 0.0, 1.0, t)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s = t * c
+    return jnp.where(active, c, 1.0), jnp.where(active, s, 0.0)
+
+
+def _sym_rotate(a, v, p, q, eps):
+    c, s = _sym_rotation(a[..., p, p], a[..., q, q], a[..., p, q], eps)
+    c = c[..., None]
+    s = s[..., None]
+    cp, cq = a[..., :, p], a[..., :, q]
+    a = a.at[..., :, p].set(c * cp - s * cq)
+    a = a.at[..., :, q].set(s * cp + c * cq)
+    rp, rq = a[..., p, :], a[..., q, :]
+    a = a.at[..., p, :].set(c * rp - s * rq)
+    a = a.at[..., q, :].set(s * rp + c * rq)
+    vp, vq = v[..., :, p], v[..., :, q]
+    v = v.at[..., :, p].set(c * vp - s * vq)
+    v = v.at[..., :, q].set(s * vp + c * vq)
+    return a, v
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def jacobi_eigh_sym(a: jnp.ndarray, sweeps: int | None = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched eigendecomposition of REAL symmetric (..., n, n)."""
+    n = a.shape[-1]
+    if sweeps is None:
+        sweeps = _sweeps_for(a.dtype, n)
+    eps = _eps_for(a.dtype)
+    v = jnp.zeros_like(a) + jnp.eye(n, dtype=a.dtype)
+
+    def sweep(_, carry):
+        a, v = carry
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                a, v = _sym_rotate(a, v, p, q, eps)
+        return a, v
+
+    a, v = jax.lax.fori_loop(0, sweeps, sweep, (a, v))
+    lam = jnp.diagonal(a, axis1=-2, axis2=-1)
+    order = jnp.argsort(lam, axis=-1)
+    return (jnp.take_along_axis(lam, order, axis=-1),
+            jnp.take_along_axis(v, order[..., None, :], axis=-1))
+
+
+# --------------------------------------------------------------------------
+# split-complex Hermitian Jacobi: A = ar + i ai, ar sym, ai antisym
+# --------------------------------------------------------------------------
+
+def _herm_rotate(ar, ai, vr, vi, p, q, eps):
+    app = ar[..., p, p]
+    aqq = ar[..., q, q]
+    xr = ar[..., p, q]
+    xi = ai[..., p, q]
+    r = jnp.sqrt(xr * xr + xi * xi)
+    active = r > eps * (jnp.abs(app) + jnp.abs(aqq) + r)
+    safe_r = jnp.where(active, r, 1.0)
+    pr = jnp.where(active, xr / safe_r, 1.0)   # phase = apq / |apq|
+    pi = jnp.where(active, xi / safe_r, 0.0)
+    tau = (aqq - app) / (2.0 * safe_r)
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(tau == 0.0, 1.0, t)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s = t * c
+    c = jnp.where(active, c, 1.0)[..., None]
+    s = jnp.where(active, s, 0.0)[..., None]
+    pr = pr[..., None]
+    pi = pi[..., None]
+
+    def cmul(xr_, xi_, yr_, yi_):
+        return xr_ * yr_ - xi_ * yi_, xr_ * yi_ + xi_ * yr_
+
+    # columns: (AJ)[:,p] = c A[:,p] - s conj(ph) A[:,q]
+    #          (AJ)[:,q] = s ph A[:,p] + c A[:,q]
+    cpr, cpi = ar[..., :, p], ai[..., :, p]
+    cqr, cqi = ar[..., :, q], ai[..., :, q]
+    tr, ti = cmul(pr, -pi, cqr, cqi)
+    npr_, npi_ = c * cpr - s * tr, c * cpi - s * ti
+    tr, ti = cmul(pr, pi, cpr, cpi)
+    nqr_, nqi_ = s * tr + c * cqr, s * ti + c * cqi
+    ar = ar.at[..., :, p].set(npr_).at[..., :, q].set(nqr_)
+    ai = ai.at[..., :, p].set(npi_).at[..., :, q].set(nqi_)
+
+    # rows: (J^H A)[p,:] = c A[p,:] - s ph A[q,:]
+    #       (J^H A)[q,:] = s conj(ph) A[p,:] + c A[q,:]
+    rpr, rpi = ar[..., p, :], ai[..., p, :]
+    rqr, rqi = ar[..., q, :], ai[..., q, :]
+    tr, ti = cmul(pr, pi, rqr, rqi)
+    nrp_r, nrp_i = c * rpr - s * tr, c * rpi - s * ti
+    tr, ti = cmul(pr, -pi, rpr, rpi)
+    nrq_r, nrq_i = s * tr + c * rqr, s * ti + c * rqi
+    ar = ar.at[..., p, :].set(nrp_r).at[..., q, :].set(nrq_r)
+    ai = ai.at[..., p, :].set(nrp_i).at[..., q, :].set(nrq_i)
+
+    # V <- V J (column ops)
+    wpr, wpi = vr[..., :, p], vi[..., :, p]
+    wqr, wqi = vr[..., :, q], vi[..., :, q]
+    tr, ti = cmul(pr, -pi, wqr, wqi)
+    nvp_r, nvp_i = c * wpr - s * tr, c * wpi - s * ti
+    tr, ti = cmul(pr, pi, wpr, wpi)
+    nvq_r, nvq_i = s * tr + c * wqr, s * ti + c * wqi
+    vr = vr.at[..., :, p].set(nvp_r).at[..., :, q].set(nvq_r)
+    vi = vi.at[..., :, p].set(nvp_i).at[..., :, q].set(nvq_i)
+    return ar, ai, vr, vi
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def jacobi_eigh_herm(ar: jnp.ndarray, ai: jnp.ndarray,
+                     sweeps: int | None = None):
+    """Batched eigendecomposition of Hermitian A = ar + i ai given as
+    split parts.  Returns (lam, vr, vi) with eigenvalues ascending."""
+    n = ar.shape[-1]
+    if sweeps is None:
+        sweeps = _sweeps_for(ar.dtype, n)
+    eps = _eps_for(ar.dtype)
+    vr = jnp.zeros_like(ar) + jnp.eye(n, dtype=ar.dtype)
+    vi = jnp.zeros_like(ar)
+
+    def sweep(_, carry):
+        ar, ai, vr, vi = carry
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                ar, ai, vr, vi = _herm_rotate(ar, ai, vr, vi, p, q, eps)
+        return ar, ai, vr, vi
+
+    ar, ai, vr, vi = jax.lax.fori_loop(0, sweeps, sweep, (ar, ai, vr, vi))
+    lam = jnp.diagonal(ar, axis1=-2, axis2=-1)
+    order = jnp.argsort(lam, axis=-1)
+    take = lambda m: jnp.take_along_axis(m, order[..., None, :], axis=-1)
+    return (jnp.take_along_axis(lam, order, axis=-1), take(vr), take(vi))
+
+
+# --------------------------------------------------------------------------
+# fidelities
+# --------------------------------------------------------------------------
+
+def _phase_parts(lam, t):
+    ang = lam * t[..., None]
+    return jnp.cos(ang), -jnp.sin(ang)       # e^{-i t lam}
+
+
+def fidelity_sym(h: jnp.ndarray, t: jnp.ndarray, in_spin: int,
+                 out_spin: int, eigh_sym=jacobi_eigh_sym) -> jnp.ndarray:
+    """|<out| exp(-i t H) |in>|^2 for REAL symmetric H (..., n, n)."""
+    lam, v = eigh_sym(h)
+    w = v[..., out_spin, :] * v[..., in_spin, :]
+    cr, ci = _phase_parts(lam, jnp.asarray(t, lam.dtype))
+    phr = jnp.sum(w * cr, axis=-1)
+    phi = jnp.sum(w * ci, axis=-1)
+    return phr * phr + phi * phi
+
+
+def fidelity_herm(ar: jnp.ndarray, ai: jnp.ndarray, t: jnp.ndarray,
+                  in_spin: int, out_spin: int,
+                  eigh_herm=jacobi_eigh_herm) -> jnp.ndarray:
+    """|<out| exp(-i t (ar + i ai)) |in>|^2 in split arithmetic.
+
+    phi = sum_k a_k * f_k * conj(b_k) with a = V[out,:], b = V[in,:],
+    f = e^{-i t lam}; fully expanded into real products.
+    """
+    lam, vr, vi = eigh_herm(ar, ai)
+    aor = vr[..., out_spin, :]
+    aoi = vi[..., out_spin, :]
+    bir = vr[..., in_spin, :]
+    bii = vi[..., in_spin, :]
+    # g = a * conj(b)
+    gr = aor * bir + aoi * bii
+    gi = aoi * bir - aor * bii
+    fr, fi = _phase_parts(lam, jnp.asarray(t, lam.dtype))
+    phr = jnp.sum(gr * fr - gi * fi, axis=-1)
+    phi = jnp.sum(gr * fi + gi * fr, axis=-1)
+    return phr * phr + phi * phi
+
+
+def fidelity_from_controller_sym(h0: jnp.ndarray, x: jnp.ndarray,
+                                 in_spin: int, out_spin: int,
+                                 eigh_sym=jacobi_eigh_sym) -> jnp.ndarray:
+    """Reference objective contract (T = |x[n]|, H = H0 + diag(x[:n]))
+    on the real-symmetric path."""
+    n = h0.shape[-1]
+    h = h0 + jnp.eye(n, dtype=h0.dtype) * x[..., None, :n]
+    return fidelity_sym(h, jnp.abs(x[..., n]), in_spin, out_spin, eigh_sym)
+
+
+# --------------------------------------------------------------------------
+# exact gradient, real-symmetric path (optimizer training objective)
+# --------------------------------------------------------------------------
+
+def _gamma_parts(lam, t):
+    """Split Daleckii-Krein matrix for f(l) = e^{-i t l}."""
+    tc = jnp.asarray(t, lam.dtype)
+    fr, fi = _phase_parts(lam, tc)
+    dl = lam[..., :, None] - lam[..., None, :]
+    near = jnp.abs(dl) < _DEG_EPS
+    safe = jnp.where(near, 1.0, dl)
+    gr = (fr[..., :, None] - fr[..., None, :]) / safe
+    gi = (fi[..., :, None] - fi[..., None, :]) / safe
+    mid = 0.5 * (lam[..., :, None] + lam[..., None, :])
+    ang = mid * tc[..., None, None]
+    # limit: -i t e^{-i t mid} = (-t sin(ang... ) careful:
+    # -i t (cos a - i sin a) = -t sin a ... real = -t sin(ang),
+    # imag = -t cos(ang)
+    lim_r = -tc[..., None, None] * jnp.sin(ang)
+    lim_i = -tc[..., None, None] * jnp.cos(ang)
+    return jnp.where(near, lim_r, gr), jnp.where(near, lim_i, gi)
+
+
+def infidelity_and_gradient_sym(h0: jnp.ndarray, x: jnp.ndarray,
+                                in_spin: int, out_spin: int,
+                                eigh_sym=jacobi_eigh_sym):
+    """Exact (infidelity, gradient) for the real-symmetric training path;
+    value-parity with ops/propagate.infidelity_and_gradient at <=1e-10
+    (tests/test_realform.py)."""
+    n = h0.shape[-1]
+    biases = x[..., :n]
+    t = jnp.abs(x[..., n])
+    h = h0 + jnp.eye(n, dtype=h0.dtype) * biases[..., None, :]
+    lam, v = eigh_sym(h)
+    tc = jnp.asarray(t, lam.dtype)
+
+    v_out = v[..., out_spin, :]
+    v_in = v[..., in_spin, :]
+    w = v_out * v_in
+    fr, fi = _phase_parts(lam, tc)
+    phr = jnp.sum(w * fr, axis=-1)
+    phi = jnp.sum(w * fi, axis=-1)
+    err = 1.0 - (phr * phr + phi * phi)
+
+    gr, gi = _gamma_parts(lam, t)
+    # A[l, j] = V[out, j] V[l, j];  B[l, k] = V[l, k] V[in, k]  (all real)
+    a = v_out[..., None, :] * v
+    b = v * v_in[..., None, :]
+    dphr = jnp.einsum("...lj,...jk,...lk->...l", a, gr, b)
+    dphi = jnp.einsum("...lj,...jk,...lk->...l", a, gi, b)
+    # d err/dx_l = -2 Re(dphi * conj(phi))
+    grad_bias = -2.0 * (dphr * phr[..., None] + dphi * phi[..., None])
+
+    # (H U)[out,in] = sum_k lam_k w_k f_k ;  d err/dT = -2 Im(HU conj(phi))
+    hur = jnp.sum(lam * w * fr, axis=-1)
+    hui = jnp.sum(lam * w * fi, axis=-1)
+    grad_t = -2.0 * (hui * phr - hur * phi)
+
+    return err, jnp.concatenate([grad_bias, grad_t[..., None]], axis=-1)
+
+
+def split_hermitian(h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Host/interop helper: complex Hermitian -> (real, imag) parts."""
+    return jnp.real(h), jnp.imag(h)

@@ -1,0 +1,147 @@
+"""Figure-stack tests over tiny synthetic experiment data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from code_robchar_tpu.figs import (CDFAreaExample, IndividualContComparisons,
+                                   KTRConsistency, ARIMGenerator, NStochOpt)
+from code_robchar_tpu.figs.rimk import (moments_vs_tails, p_rim_growth_curves,
+                                        p_order_rim, dom, right_tail)
+
+
+N, C = 4, 6
+NOISES = np.linspace(0, 0.1, 3)
+
+
+def _make_store(tmp_path):
+    rng = np.random.default_rng(3)
+    store = {
+        "lbfgs": {str(N): {"controller":
+                           rng.uniform(-5, 5, (C, N + 1)).tolist()}},
+        "ppo": {"0.05": {"controller":
+                         rng.uniform(-5, 5, (C, N + 1)).tolist()}},
+    }
+    home = tmp_path / "experiments" / "pipeline_figs"
+    home.mkdir(parents=True, exist_ok=True)
+    path = home / f"ppo_spin_{N}_0-2_c_{C}.le"
+    path.write_text(json.dumps(store))
+    return store
+
+
+def _sim_kwargs(tmp_path, fig_dir):
+    return dict(Nspin=N, inspin=0, outspin=2, noises=NOISES, bootreps=8,
+                numcontrollers=C, filemarker=".le", topk=4,
+                global_experiments_directory=str(tmp_path / "experiments"),
+                fig_dir=str(fig_dir))
+
+
+def test_fig3_heatmaps_and_curves(tmp_path):
+    _make_store(tmp_path)
+    y = IndividualContComparisons("pipeline_figs",
+                                  **_sim_kwargs(tmp_path, tmp_path / "figs"))
+    p1 = y.plot_figs_3_6_10_11_12(noise_keys=["0.05"], figname="fig3")
+    p2 = y.plot_fig3e(noise_keys=["0.05"], figname="fig3e",
+                      best_and_gt_fid_thres=True)
+    assert os.path.exists(p1) and os.path.getsize(p1) > 0
+    assert os.path.exists(p2) and os.path.getsize(p2) > 0
+
+
+def test_fig4_taus_and_boxplots(tmp_path):
+    _make_store(tmp_path)
+    y = KTRConsistency("pipeline_figs",
+                       **_sim_kwargs(tmp_path, tmp_path / "figs"))
+    taus = y.pairwise_taus(y._rim("ppo", "0.05", y.topk), alpha=0.05)
+    assert taus.shape == (len(NOISES), len(NOISES))
+    # diagonal: a ranking agrees with itself (tau ~ 1 up to clustering)
+    assert np.all(np.diag(taus) > 0.5)
+    p, p_alt = y.plot_kendalltaus(noise_keys=["0.05"], figname="fig4")
+    assert os.path.exists(p) and os.path.exists(p_alt)
+    pb = y.plot_grouped_boxplots(noise_keys=["0.05"])
+    assert os.path.exists(pb)
+
+
+def test_fig5_arim(tmp_path):
+    _make_store(tmp_path)
+    y = ARIMGenerator("pipeline_figs",
+                      **_sim_kwargs(tmp_path, tmp_path / "figs"))
+    arim, err = y.arim_curve("ppo", "0.05", bootsamples=20)
+    assert arim.shape == (len(NOISES),)
+    assert np.all(arim >= 0) and np.all(arim <= 1)
+    assert np.all(err >= 0)
+    # ARIM == mean RIM of the sample (W1 to delta(0) identity)
+    rims = y._rim_topk("ppo", "0.05", NOISES)
+    np.testing.assert_allclose(arim, rims.mean(axis=1), atol=1e-10)
+    path = y.get_ARIM_plot(noise_keys=["0.05"])
+    assert os.path.exists(path)
+
+
+def test_fig8_scaling(tmp_path):
+    rng = np.random.default_rng(0)
+    ckpt = {str(int(f)): rng.uniform(-5, 5, (C, N + 1)).tolist()
+            for f in (1e6, 2e6)}
+    store = {algo: {"0.01": ckpt, "0.0": ckpt}
+             for algo in ("lbfgs", "ppo", "snob", "nmplus")}
+    home = tmp_path / "experiments" / "pipeline_scaling"
+    home.mkdir(parents=True)
+    (home / f"ppo_spin_{N}_0-2_c_{C}.le_sh").write_text(json.dumps(store))
+    (home / f"ppo_spin_{N}_0-2_c_{C}.le_nsh").write_text(json.dumps(store))
+
+    y = NStochOpt("pipeline_scaling", Nspin=N, inspin=0, outspin=2,
+                  noises=NOISES, bootreps=4, numcontrollers=C,
+                  filemarker=".le", fig_dir=str(tmp_path / "figs"),
+                  global_experiments_directory=str(tmp_path / "experiments"))
+    arims, keys = y.get_arims("ppo", nlvl="0.01", marker="",
+                              cdict=y.c_dict_sh)
+    assert arims.shape == (2, len(NOISES))
+    assert np.all(arims >= 0) and np.all(arims <= 1)
+    # pickle cache hit on second call
+    arims2, _ = y.get_arims("ppo", nlvl="0.01", marker="",
+                            cdict=y.c_dict_sh)
+    np.testing.assert_array_equal(arims, arims2)
+    path = y.all_noises_combined_scaling_plot(nlvls=(0.01,))
+    assert os.path.exists(path)
+
+
+def test_fig1_cdf_area(tmp_path):
+    rng = np.random.default_rng(1)
+    legacy = tmp_path / "noisy_analysis"
+    legacy.mkdir()
+    lb = {"lbfgs": {str(N): {"controller":
+                             rng.uniform(-5, 5, (C, N + 1)).tolist()}}}
+    pp = {"ppo": {"0.0": {"controller":
+                          rng.uniform(-5, 5, (C, N + 1)).tolist()},
+                  "0.01": {"controller":
+                           rng.uniform(-5, 5, (C, N + 1)).tolist()}}}
+    (legacy / f"lbfgs_spin_{N}_0-2_in").write_text(json.dumps(lb))
+    (legacy / f"ppo_spin_{N}_0-2_in").write_text(json.dumps(pp))
+
+    ex = CDFAreaExample(str(legacy), spin=N, inspin=0, outspin=2,
+                        bootreps=16, controllers=C)
+    noises, fl, fp = ex.get_sd_results(np.linspace(0, 0.2, 3))
+    assert len(noises) == 2  # sigma=0 dropped
+    assert fl.shape == (2, C, 16)
+    xs, ca, cb = ex.joint_ecdfs(fl[0, 0], fp[0, 0])
+    assert ca.shape == cb.shape == xs.shape
+    assert (np.diff(ca) >= 0).all()
+    paths = ex.plot(np.linspace(0, 0.2, 3), max_panels=1,
+                    outdir=str(tmp_path / "cdf_figs"))
+    assert len(paths) == 1 and os.path.exists(paths[0])
+
+
+def test_rimk_synthetics():
+    res = moments_vs_tails(0.01)
+    assert set(res) == {"right_tail", "left_tail", "gaussian", "uniform"}
+    growth = p_rim_growth_curves()
+    vals = list(growth.values())
+    assert all(vals[i] <= vals[i + 1] + 1e-12
+               for i in range(len(vals) - 1))  # RIM_p grows with p
+    x = dom(0.2, 1, 200)
+    assert abs(p_order_rim(uniform_w(x), x, 1) -
+               np.mean(1 - x)) < 1e-10
+
+
+def uniform_w(x):
+    return np.full(len(x), 1.0 / len(x))

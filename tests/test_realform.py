@@ -1,0 +1,107 @@
+"""Split-real kernel parity vs the complex reference implementations.
+
+The TPU production path never touches a complex dtype (ops/realform.py);
+these tests pin it to the complex oracles at float64 <= 1e-10.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from code_robchar_tpu.ops import chain, noise, propagate, realform
+
+
+def rand_controller(rng, n):
+    return jnp.asarray(np.concatenate([rng.uniform(-10, 10, n),
+                                       rng.uniform(0.5, 30, 1)]))
+
+
+def test_jacobi_sym_matches_lapack(rng):
+    for n in (4, 7, 10):
+        a = rng.normal(size=(16, n, n))
+        h = (a + np.transpose(a, (0, 2, 1))) / 2
+        lam, v = realform.jacobi_eigh_sym(jnp.asarray(h))
+        np.testing.assert_allclose(np.asarray(lam), np.linalg.eigvalsh(h),
+                                   atol=1e-10)
+        hv = np.einsum("bij,bjk->bik", h, np.asarray(v))
+        vl = np.asarray(v) * np.asarray(lam)[:, None, :]
+        np.testing.assert_allclose(hv, vl, atol=1e-9)
+
+
+def test_jacobi_herm_matches_lapack(rng):
+    for n in (4, 7, 10):
+        a = rng.normal(size=(16, n, n)) + 1j * rng.normal(size=(16, n, n))
+        h = (a + np.conj(np.transpose(a, (0, 2, 1)))) / 2
+        lam, vr, vi = realform.jacobi_eigh_herm(
+            jnp.asarray(h.real), jnp.asarray(h.imag))
+        np.testing.assert_allclose(np.asarray(lam), np.linalg.eigvalsh(h),
+                                   atol=1e-10)
+        v = np.asarray(vr) + 1j * np.asarray(vi)
+        hv = np.einsum("bij,bjk->bik", h, v)
+        vl = v * np.asarray(lam)[:, None, :]
+        np.testing.assert_allclose(hv, vl, atol=1e-9)
+
+
+def test_fidelity_sym_parity(rng):
+    for n, out in [(4, 2), (5, 2), (7, 6)]:
+        h0c = chain.xx_hamiltonian(n)
+        h0r = jnp.real(h0c)
+        for _ in range(5):
+            x = rand_controller(rng, n)
+            f_complex = float(propagate.fidelity_from_controller(
+                h0c, x, 0, out))
+            f_real = float(realform.fidelity_from_controller_sym(
+                h0r, x, 0, out))
+            assert abs(f_complex - f_real) < 1e-10
+
+
+def test_fidelity_herm_parity(rng):
+    n, out = 6, 3
+    h0c = chain.xx_hamiltonian(n)
+    for i in range(5):
+        k = jax.random.key(i)
+        z = noise.structured_perturbation(k, n, 0.05, complex_offdiag=True)
+        zr, zi = noise.structured_perturbation_parts(k, n, 0.05,
+                                                     complex_offdiag=True)
+        # same key -> same draws in both representations
+        np.testing.assert_allclose(np.asarray(z),
+                                   np.asarray(zr) + 1j * np.asarray(zi),
+                                   atol=0)
+        x = rand_controller(np.random.default_rng(i), n)
+        f_complex = float(propagate.fidelity_from_controller(
+            h0c + z, x, 0, out))
+        f_real = float(realform.fidelity_herm(
+            jnp.real(h0c) + zr + jnp.eye(n) * x[:n], zi, jnp.abs(x[n]),
+            0, out))
+        assert abs(f_complex - f_real) < 1e-10
+
+
+def test_gradient_sym_parity(rng):
+    for n, out in [(4, 2), (7, 6)]:
+        h0c = chain.xx_hamiltonian(n)
+        h0r = jnp.real(h0c)
+        for _ in range(5):
+            x = rand_controller(rng, n)
+            e1, g1 = propagate.infidelity_and_gradient(h0c, x, 0, out)
+            e2, g2 = realform.infidelity_and_gradient_sym(h0r, x, 0, out)
+            assert abs(float(e1) - float(e2)) < 1e-10
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                       atol=1e-9)
+
+
+def test_gradient_sym_degenerate_ring():
+    n = 6
+    h0r = jnp.real(chain.xx_hamiltonian(n, topo="ring"))
+    x = jnp.asarray(np.concatenate([np.full(n, 1.7), [5.0]]))
+    err, grad = realform.infidelity_and_gradient_sym(h0r, x, 0, 3)
+    assert np.isfinite(float(err)) and np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_batched_shapes(rng):
+    n = 5
+    h = jnp.asarray(rng.normal(size=(3, 4, n, n)))
+    h = (h + jnp.swapaxes(h, -1, -2)) / 2
+    lam, v = realform.jacobi_eigh_sym(h)
+    assert lam.shape == (3, 4, n) and v.shape == (3, 4, n, n)
+    fid = realform.fidelity_sym(h, jnp.asarray(2.0), 0, 2)
+    assert fid.shape == (3, 4)
