@@ -51,6 +51,8 @@ def reference_cpu_rate(n: int = 7, samples: int = 300) -> float:
 
 
 def main():
+    import threading
+
     import jax
     import jax.numpy as jnp
     from code_robchar_tpu.mc import engine
@@ -58,6 +60,16 @@ def main():
 
     n, n_ctrl, n_noise, bootreps = 7, 10_000, 11, 100
     total = n_ctrl * n_noise * bootreps
+
+    # This TPU relay charges a large, variable one-time cost on the FIRST
+    # device->host copy of an executed result, and block_until_ready is
+    # not a reliable execution barrier — only a fetch is.  So: trigger the
+    # handshake on a trivial result in a background thread (it overlaps
+    # with compilation), and use small scalar fetches as timing barriers
+    # afterwards.
+    tiny = jax.jit(lambda a: a @ a)(jnp.ones((8, 8)))
+    handshake = threading.Thread(target=lambda: np.asarray(tiny))
+    handshake.start()
 
     rng = np.random.default_rng(0)
     h0 = chain.xx_hamiltonian_real(n, dtype=jnp.float32)
@@ -68,20 +80,19 @@ def main():
     key = jax.random.key(0)
 
     kwargs = dict(bootreps=bootreps, in_spin=0, out_spin=6,
-                  complex_offdiag=True, chunk=32768, use_jacobi=True)
+                  complex_offdiag=True, chunk=8192, use_jacobi=True)
 
-    # warm-up: compile on a small slice AND fetch it — the first
-    # device->host fetch of an executed result pays a large one-time relay
-    # cost on this TPU path, which must not land in the measurement.
-    warm = engine.mc_fidelity_sweep(h0, ctrl[:64], noises, key, 4, 0, 6,
-                                    complex_offdiag=True, chunk=2816,
-                                    use_jacobi=True)
-    np.asarray(warm)
+    # warm-up at the EXACT production shapes: compilation + first run
+    warm = engine.mc_fidelity_sweep(h0, ctrl, noises, key, **kwargs)
+    warm.block_until_ready()
+    handshake.join()
+    float(jnp.sum(warm))  # fetch barrier: warm run fully retired
 
     start = time.perf_counter()
-    fids = engine.mc_fidelity_sweep(h0, ctrl, noises, key, **kwargs)
+    fids = engine.mc_fidelity_sweep(h0, ctrl, noises,
+                                    jax.random.key(1), **kwargs)
     metrics = engine.metric_tensors(fids)
-    jax.block_until_ready(metrics)
+    checksum = float(jnp.sum(metrics[r"$W(.,\delta(x-1))$"]))
     elapsed = time.perf_counter() - start
 
     rate = total / elapsed
@@ -95,6 +106,7 @@ def main():
         "vs_baseline": round(rate / ref_rate, 1),
         "wall_seconds": round(elapsed, 2),
         "reference_cpu_rate": round(ref_rate, 1),
+        "rim_checksum": round(checksum, 3),
         "device": str(jax.devices()[0]),
     }))
 

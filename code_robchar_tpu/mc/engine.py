@@ -42,23 +42,56 @@ DEFAULT_CHUNK = 8192
 
 def _element_kernel(h0r, x, scale, key, in_spin, out_spin, complex_offdiag,
                     use_jacobi):
-    """One lattice element in split-real arithmetic (TPU backends expose no
-    complex dtype; see ops/realform.py).  ``use_jacobi=False`` is the
-    LAPACK parity path (CPU only): reconstructs the complex Hermitian and
-    uses jnp.linalg.eigh."""
+    """One lattice element on the LAPACK parity path (CPU only):
+    reconstructs the complex Hermitian and uses jnp.linalg.eigh."""
     n = h0r.shape[-1]
-    if use_jacobi:
-        zr, zi = structured_perturbation_parts(
-            key, n, scale, complex_offdiag=complex_offdiag, dtype=h0r.dtype)
-        ar = h0r + zr + jnp.eye(n, dtype=h0r.dtype) * x[..., None, :n]
-        return realform.fidelity_herm(ar, zi, jnp.abs(x[n]), in_spin,
-                                      out_spin)
     h0c = h0r.astype(jnp.complex128 if h0r.dtype == jnp.float64
                      else jnp.complex64)
     z = structured_perturbation(key, n, scale,
                                 complex_offdiag=complex_offdiag,
                                 dtype=h0c.dtype)
     return fidelity_from_controller(h0c + z, x, in_spin, out_spin)
+
+
+def _chunk_kernel_lanes(h0r, xs, scales, keys, in_spin, out_spin,
+                        complex_offdiag):
+    """One chunk in the batch-in-lanes layout (ops/realform.py): the
+    perturbed Hamiltonians are assembled DIRECTLY as (n, n, B) tiles —
+    diagonal noise + controller biases on the diagonal lanes, symmetric
+    real / antisymmetric imaginary nearest-neighbour couplings — so every
+    Jacobi rotation streams the whole batch through the VPU lanes.
+
+    Draw parity: the per-element key split/order matches
+    structured_perturbation_parts exactly (pinned in tests/test_mc.py via
+    the scipy cross-check).
+    """
+    n = h0r.shape[-1]
+    b = xs.shape[0]
+    dt = h0r.dtype
+
+    ks = jax.vmap(lambda k: jax.random.split(k, 3))(keys)   # (B, 3)
+    diag = jax.vmap(lambda k: jax.random.normal(k, (n,), dt))(ks[:, 0])
+    nn = jax.vmap(lambda k: jax.random.normal(k, (n - 1,), dt))(ks[:, 1])
+    diag = diag * scales[:, None]
+    nn = nn * scales[:, None]
+
+    ar = jnp.zeros((n, n, b), dt) + h0r[:, :, None]
+    for i in range(n):
+        ar = ar.at[i, i].add(diag[:, i] + xs[:, i])
+    for i in range(1, n):
+        ar = ar.at[i, i - 1].add(nn[:, i - 1])
+        ar = ar.at[i - 1, i].add(nn[:, i - 1])
+
+    ai = jnp.zeros((n, n, b), dt)
+    if complex_offdiag:
+        nn2 = jax.vmap(lambda k: jax.random.normal(k, (n - 1,), dt))(
+            ks[:, 2]) * scales[:, None]
+        for i in range(1, n):
+            ai = ai.at[i, i - 1].add(nn2[:, i - 1])
+            ai = ai.at[i - 1, i].add(-nn2[:, i - 1])
+
+    t = jnp.abs(xs[:, n])
+    return realform.fidelity_herm_lanes(ar, ai, t, in_spin, out_spin)
 
 
 def _sweep_core(h0, ctrl, noises, key, bootreps, in_spin, out_spin,
@@ -84,14 +117,21 @@ def _sweep_core(h0, ctrl, noises, key, bootreps, in_spin, out_spin,
     gids = ((l_idx * c_global + c_idx + c_offset) * bootreps + b_idx
             ).astype(jnp.uint32)
 
-    def elem(args):
-        lid, cid, gid = args
-        k = jax.random.fold_in(key, gid)
-        return _element_kernel(h0r, ctrl[cid], noises[lid], k, in_spin,
-                               out_spin, complex_offdiag, use_jacobi)
+    if use_jacobi:
+        def do_chunk(args):
+            lid, cid, gid = args
+            keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, gid)
+            return _chunk_kernel_lanes(h0r, ctrl[cid], noises[lid], keys,
+                                       in_spin, out_spin, complex_offdiag)
+    else:
+        def elem(args):
+            lid, cid, gid = args
+            k = jax.random.fold_in(key, gid)
+            return _element_kernel(h0r, ctrl[cid], noises[lid], k, in_spin,
+                                   out_spin, complex_offdiag, use_jacobi)
 
-    def do_chunk(args):
-        return jax.vmap(elem)(args)
+        def do_chunk(args):
+            return jax.vmap(elem)(args)
 
     args = (l_idx.reshape(-1, chunk), c_idx.reshape(-1, chunk),
             gids.reshape(-1, chunk))

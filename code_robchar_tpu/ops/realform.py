@@ -188,6 +188,61 @@ def jacobi_eigh_herm(ar: jnp.ndarray, ai: jnp.ndarray,
 
 
 # --------------------------------------------------------------------------
+# rows-only eigensolvers (throughput path)
+#
+# A transfer fidelity only consumes rows `in_spin` and `out_spin` of the
+# eigenvector matrix, and the eigen-sums are order-independent.  Jacobi
+# accumulates V by COLUMN rotations, under which every row evolves
+# independently — so the throughput kernels carry a (2, n) row block
+# instead of the (n, n) matrix and skip the final sort entirely.
+# --------------------------------------------------------------------------
+
+def _sym_eigh_rows(a: jnp.ndarray, rows, sweeps: int | None = None):
+    """(lam_unsorted, vrows) with vrows[..., r, :] = V[rows[r], :]."""
+    n = a.shape[-1]
+    if sweeps is None:
+        sweeps = _sweeps_for(a.dtype, n)
+    eps = _eps_for(a.dtype)
+    sel = jnp.zeros(a.shape[:-2] + (len(rows), n), a.dtype)
+    for r, row in enumerate(rows):
+        sel = sel.at[..., r, row].set(1.0)
+    sel = sel + 0.0 * a[..., :1, :]   # inherit device-varying axes
+
+    def sweep(_, carry):
+        a, v = carry
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                a, v = _sym_rotate(a, v, p, q, eps)
+        return a, v
+
+    a, v = jax.lax.fori_loop(0, sweeps, sweep, (a, sel))
+    return jnp.diagonal(a, axis1=-2, axis2=-1), v
+
+
+def _herm_eigh_rows(ar, ai, rows, sweeps: int | None = None):
+    """(lam_unsorted, vr_rows, vi_rows) for A = ar + i ai."""
+    n = ar.shape[-1]
+    if sweeps is None:
+        sweeps = _sweeps_for(ar.dtype, n)
+    eps = _eps_for(ar.dtype)
+    sel = jnp.zeros(ar.shape[:-2] + (len(rows), n), ar.dtype)
+    for r, row in enumerate(rows):
+        sel = sel.at[..., r, row].set(1.0)
+    vr = sel + 0.0 * ar[..., :1, :]
+    vi = jnp.zeros_like(vr)
+
+    def sweep(_, carry):
+        ar, ai, vr, vi = carry
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                ar, ai, vr, vi = _herm_rotate(ar, ai, vr, vi, p, q, eps)
+        return ar, ai, vr, vi
+
+    ar, ai, vr, vi = jax.lax.fori_loop(0, sweeps, sweep, (ar, ai, vr, vi))
+    return jnp.diagonal(ar, axis1=-2, axis2=-1), vr, vi
+
+
+# --------------------------------------------------------------------------
 # fidelities
 # --------------------------------------------------------------------------
 
@@ -197,10 +252,15 @@ def _phase_parts(lam, t):
 
 
 def fidelity_sym(h: jnp.ndarray, t: jnp.ndarray, in_spin: int,
-                 out_spin: int, eigh_sym=jacobi_eigh_sym) -> jnp.ndarray:
+                 out_spin: int, eigh_sym=None) -> jnp.ndarray:
     """|<out| exp(-i t H) |in>|^2 for REAL symmetric H (..., n, n)."""
-    lam, v = eigh_sym(h)
-    w = v[..., out_spin, :] * v[..., in_spin, :]
+    if eigh_sym is not None:
+        lam, v = eigh_sym(h)
+        v_out, v_in = v[..., out_spin, :], v[..., in_spin, :]
+    else:
+        lam, vrows = _sym_eigh_rows(h, (in_spin, out_spin))
+        v_in, v_out = vrows[..., 0, :], vrows[..., 1, :]
+    w = v_out * v_in
     cr, ci = _phase_parts(lam, jnp.asarray(t, lam.dtype))
     phr = jnp.sum(w * cr, axis=-1)
     phi = jnp.sum(w * ci, axis=-1)
@@ -209,17 +269,20 @@ def fidelity_sym(h: jnp.ndarray, t: jnp.ndarray, in_spin: int,
 
 def fidelity_herm(ar: jnp.ndarray, ai: jnp.ndarray, t: jnp.ndarray,
                   in_spin: int, out_spin: int,
-                  eigh_herm=jacobi_eigh_herm) -> jnp.ndarray:
+                  eigh_herm=None) -> jnp.ndarray:
     """|<out| exp(-i t (ar + i ai)) |in>|^2 in split arithmetic.
 
     phi = sum_k a_k * f_k * conj(b_k) with a = V[out,:], b = V[in,:],
     f = e^{-i t lam}; fully expanded into real products.
     """
-    lam, vr, vi = eigh_herm(ar, ai)
-    aor = vr[..., out_spin, :]
-    aoi = vi[..., out_spin, :]
-    bir = vr[..., in_spin, :]
-    bii = vi[..., in_spin, :]
+    if eigh_herm is not None:
+        lam, vr, vi = eigh_herm(ar, ai)
+        aor, aoi = vr[..., out_spin, :], vi[..., out_spin, :]
+        bir, bii = vr[..., in_spin, :], vi[..., in_spin, :]
+    else:
+        lam, vrr, vir = _herm_eigh_rows(ar, ai, (in_spin, out_spin))
+        bir, bii = vrr[..., 0, :], vir[..., 0, :]
+        aor, aoi = vrr[..., 1, :], vir[..., 1, :]
     # g = a * conj(b)
     gr = aor * bir + aoi * bii
     gi = aoi * bir - aor * bii
@@ -231,7 +294,7 @@ def fidelity_herm(ar: jnp.ndarray, ai: jnp.ndarray, t: jnp.ndarray,
 
 def fidelity_from_controller_sym(h0: jnp.ndarray, x: jnp.ndarray,
                                  in_spin: int, out_spin: int,
-                                 eigh_sym=jacobi_eigh_sym) -> jnp.ndarray:
+                                 eigh_sym=None) -> jnp.ndarray:
     """Reference objective contract (T = |x[n]|, H = H0 + diag(x[:n]))
     on the real-symmetric path."""
     n = h0.shape[-1]
@@ -303,3 +366,105 @@ def infidelity_and_gradient_sym(h0: jnp.ndarray, x: jnp.ndarray,
 def split_hermitian(h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Host/interop helper: complex Hermitian -> (real, imag) parts."""
     return jnp.real(h), jnp.imag(h)
+
+
+# --------------------------------------------------------------------------
+# batch-in-lanes ("lanes") formulation
+#
+# The (B, n, n) layout wastes the VPU: the minor dimension holds only n<=10
+# elements of a 128-lane register.  The lanes formulation stores the batch
+# LAST — arrays are (n, n, B) with every rotation touching (n, B) or (B,)
+# tiles whose minor dimension is the full batch — so each vector op streams
+# 128 matrices per lane-group.  This is the MC engine's production layout.
+# --------------------------------------------------------------------------
+
+def _herm_rotate_lanes(ar, ai, vr, vi, p, q, eps):
+    """One (p, q) pivot in lanes layout: ar/ai (n, n, B), vr/vi (R, n, B)."""
+    app = ar[p, p]
+    aqq = ar[q, q]
+    xr = ar[p, q]
+    xi = ai[p, q]
+    r = jnp.sqrt(xr * xr + xi * xi)
+    active = r > eps * (jnp.abs(app) + jnp.abs(aqq) + r)
+    safe_r = jnp.where(active, r, 1.0)
+    pr = jnp.where(active, xr / safe_r, 1.0)
+    pi = jnp.where(active, xi / safe_r, 0.0)
+    tau = (aqq - app) / (2.0 * safe_r)
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(tau == 0.0, 1.0, t)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s = t * c
+    c = jnp.where(active, c, 1.0)
+    s = jnp.where(active, s, 0.0)
+
+    def cmul(xr_, xi_, yr_, yi_):
+        return xr_ * yr_ - xi_ * yi_, xr_ * yi_ + xi_ * yr_
+
+    # columns (A J): slices (n, B)
+    cpr, cpi = ar[:, p], ai[:, p]
+    cqr, cqi = ar[:, q], ai[:, q]
+    tr, ti = cmul(pr, -pi, cqr, cqi)
+    npr_, npi_ = c * cpr - s * tr, c * cpi - s * ti
+    tr, ti = cmul(pr, pi, cpr, cpi)
+    nqr_, nqi_ = s * tr + c * cqr, s * ti + c * cqi
+    ar = ar.at[:, p].set(npr_).at[:, q].set(nqr_)
+    ai = ai.at[:, p].set(npi_).at[:, q].set(nqi_)
+
+    # rows (J^H A): slices (n, B)
+    rpr, rpi = ar[p], ai[p]
+    rqr, rqi = ar[q], ai[q]
+    tr, ti = cmul(pr, pi, rqr, rqi)
+    nrp_r, nrp_i = c * rpr - s * tr, c * rpi - s * ti
+    tr, ti = cmul(pr, -pi, rpr, rpi)
+    nrq_r, nrq_i = s * tr + c * rqr, s * ti + c * rqi
+    ar = ar.at[p].set(nrp_r).at[q].set(nrq_r)
+    ai = ai.at[p].set(nrp_i).at[q].set(nrq_i)
+
+    # V <- V J on the carried row block: slices (R, B)
+    wpr, wpi = vr[:, p], vi[:, p]
+    wqr, wqi = vr[:, q], vi[:, q]
+    tr, ti = cmul(pr, -pi, wqr, wqi)
+    nvp_r, nvp_i = c * wpr - s * tr, c * wpi - s * ti
+    tr, ti = cmul(pr, pi, wpr, wpi)
+    nvq_r, nvq_i = s * tr + c * wqr, s * ti + c * wqi
+    vr = vr.at[:, p].set(nvp_r).at[:, q].set(nvq_r)
+    vi = vi.at[:, p].set(nvp_i).at[:, q].set(nvq_i)
+    return ar, ai, vr, vi
+
+
+def fidelity_herm_lanes(ar: jnp.ndarray, ai: jnp.ndarray, t: jnp.ndarray,
+                        in_spin: int, out_spin: int,
+                        sweeps: int | None = None) -> jnp.ndarray:
+    """Batched |<out| exp(-i t A) |in>|^2 with A = ar + i ai in LANES
+    layout: ar/ai (n, n, B), t (B,); returns (B,)."""
+    n = ar.shape[0]
+    b = ar.shape[-1]
+    if sweeps is None:
+        sweeps = _sweeps_for(ar.dtype, n)
+    eps = _eps_for(ar.dtype)
+
+    vr = jnp.zeros((2, n, b), ar.dtype)
+    vr = vr.at[0, in_spin].set(1.0).at[1, out_spin].set(1.0)
+    vr = vr + 0.0 * ar[:1, :1]          # inherit device-varying axes
+    vi = jnp.zeros_like(vr)
+
+    def sweep(_, carry):
+        ar, ai, vr, vi = carry
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                ar, ai, vr, vi = _herm_rotate_lanes(ar, ai, vr, vi, p, q,
+                                                    eps)
+        return ar, ai, vr, vi
+
+    ar, ai, vr, vi = jax.lax.fori_loop(0, sweeps, sweep, (ar, ai, vr, vi))
+
+    lam = jnp.stack([ar[i, i] for i in range(n)])   # (n, B), unsorted
+    bir, bii = vr[0], vi[0]      # V[in, :]  as (n, B)
+    aor, aoi = vr[1], vi[1]      # V[out, :]
+    gr = aor * bir + aoi * bii
+    gi = aoi * bir - aor * bii
+    ang = lam * t[None, :]
+    fr, fi = jnp.cos(ang), -jnp.sin(ang)
+    phr = jnp.sum(gr * fr - gi * fi, axis=0)
+    phi = jnp.sum(gr * fi + gi * fr, axis=0)
+    return phr * phr + phi * phi
