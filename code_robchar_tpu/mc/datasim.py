@@ -31,7 +31,7 @@ from code_robchar_tpu.exp.namer import ExperimentNamer
 from code_robchar_tpu.mc import engine
 from code_robchar_tpu.metrics.stats import get_ranks
 from code_robchar_tpu.ops import chain
-from code_robchar_tpu.utils import io
+from code_robchar_tpu.utils import io, native_io
 
 
 class DirectoryDoesNotExistError(Exception):
@@ -146,7 +146,12 @@ class MCDataSim:
             training_noise = self.training_noise
 
         cache = self.get_mcname(training_noise, noises)
-        simdict = self.loadsimdata(cache) if os.path.exists(cache) else {}
+        if os.path.exists(cache):
+            # native codec: the .mc bodies are tens of MB of JSON floats
+            simdict = {k: v.tolist()
+                       for k, v in native_io.load_mc(cache).items()}
+        else:
+            simdict = {}
         for algo in algos:
             if algo not in simdict:
                 self.get_algo_fid_dist(algo, simdict, noises, training_noise)
@@ -171,9 +176,10 @@ class MCDataSim:
         fids[:, ~valid, :] = np.nan  # NaN-pad missing controllers
 
         allalgoallfids[algoname] = fids.tolist()
-        io.dump_json(allalgoallfids,
-                     io.mc_cache_name(self.get_controller_name,
-                                      training_noise, self.bootreps, noises))
+        native_io.dump_mc(
+            {k: np.asarray(v) for k, v in allalgoallfids.items()},
+            io.mc_cache_name(self.get_controller_name, training_noise,
+                             self.bootreps, noises))
         return allalgoallfids
 
     # ------------------------------------------------------------- metrics

@@ -1,0 +1,73 @@
+"""Native .mc cache codec tests: correctness vs json, format interop."""
+
+import json
+
+import numpy as np
+import pytest
+
+from code_robchar_tpu.utils import native_io
+
+
+pytestmark = pytest.mark.skipif(not native_io.native_available(),
+                                reason="no C++ toolchain")
+
+
+def test_roundtrip_exact(rng):
+    x = rng.normal(size=(3, 5, 7))
+    text = native_io.encode_tensor(x)
+    back = native_io.decode_tensor(text)
+    np.testing.assert_array_equal(back, x)  # %.17g is bit-exact
+
+
+def test_interop_with_python_json(rng):
+    x = rng.uniform(size=(4, 6))
+    # native-encoded text parses with stdlib json to the same values
+    via_json = np.asarray(json.loads(native_io.encode_tensor(x)))
+    np.testing.assert_array_equal(via_json, x)
+    # json-encoded text parses with the native decoder
+    back = native_io.decode_tensor(json.dumps(x.tolist()))
+    np.testing.assert_array_equal(back, x)
+
+
+def test_nan_and_inf_tokens():
+    x = np.array([[1.0, np.nan], [np.inf, -np.inf]])
+    text = native_io.encode_tensor(x)
+    back = native_io.decode_tensor(text)
+    assert np.isnan(back[0, 1])
+    assert back[1, 0] == np.inf and back[1, 1] == -np.inf
+    # Python json emits the same tokens and both sides accept them
+    back2 = native_io.decode_tensor(json.dumps(x.tolist()))
+    assert np.isnan(back2[0, 1]) and back2[1, 0] == np.inf
+
+
+def test_mc_envelope_roundtrip(tmp_path, rng):
+    tensors = {"ppo": rng.uniform(size=(2, 3, 4)),
+               "lbfgs": rng.uniform(size=(2, 3, 4))}
+    path = str(tmp_path / "x.mc")
+    native_io.dump_mc(tensors, path)
+    # stdlib json can read the envelope
+    loaded = json.load(open(path))
+    assert set(loaded) == {"ppo", "lbfgs"}
+    np.testing.assert_array_equal(np.asarray(loaded["ppo"]),
+                                  tensors["ppo"])
+    # native loader round-trips
+    nat = native_io.load_mc(path)
+    np.testing.assert_array_equal(nat["lbfgs"], tensors["lbfgs"])
+
+
+def test_reference_style_envelope(tmp_path, rng):
+    # a json.dump-produced file (reference writer) loads natively
+    tensors = {"snob": rng.uniform(size=(2, 2, 2)).tolist()}
+    path = str(tmp_path / "ref.mc")
+    json.dump(tensors, open(path, "w"))
+    nat = native_io.load_mc(path)
+    np.testing.assert_allclose(nat["snob"], np.asarray(tensors["snob"]),
+                               atol=0)
+
+
+def test_decoder_rejects_ragged():
+    with pytest.raises(Exception):
+        bad = native_io.decode_tensor("[[1,2],[3]]")
+        # fallback json path would return object array; native returns
+        # error -> json fallback raises ValueError on ragged
+        np.asarray(bad, dtype=float)
