@@ -80,7 +80,14 @@ def main():
     key = jax.random.key(0)
 
     kwargs = dict(bootreps=bootreps, in_spin=0, out_spin=6,
-                  complex_offdiag=True, chunk=8192, use_jacobi=True)
+                  complex_offdiag=True, chunk=8192, use_jacobi=True,
+                  use_pallas=True)
+    try:  # Pallas TPU kernel; fall back to the XLA lanes path elsewhere
+        engine.mc_fidelity_sweep(h0, ctrl[:256], noises[:1], key, 4,
+                                 0, 6, complex_offdiag=True, chunk=1024,
+                                 use_pallas=True).block_until_ready()
+    except Exception:
+        kwargs["use_pallas"] = False
 
     # warm-up at the EXACT production shapes: compilation + first run
     warm = engine.mc_fidelity_sweep(h0, ctrl, noises, key, **kwargs)

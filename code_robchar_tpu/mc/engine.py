@@ -54,7 +54,7 @@ def _element_kernel(h0r, x, scale, key, in_spin, out_spin, complex_offdiag,
 
 
 def _chunk_kernel_lanes(h0r, xs, scales, keys, in_spin, out_spin,
-                        complex_offdiag):
+                        complex_offdiag, use_pallas=False):
     """One chunk in the batch-in-lanes layout (ops/realform.py): the
     perturbed Hamiltonians are assembled DIRECTLY as (n, n, B) tiles —
     diagonal noise + controller biases on the diagonal lanes, symmetric
@@ -91,12 +91,18 @@ def _chunk_kernel_lanes(h0r, xs, scales, keys, in_spin, out_spin,
             ai = ai.at[i - 1, i].add(-nn2[:, i - 1])
 
     t = jnp.abs(xs[:, n])
+    if use_pallas:
+        from code_robchar_tpu.ops.pallas_jacobi import fidelity_herm_pallas
+        tile = min(1024, b)
+        if b % tile == 0:
+            return fidelity_herm_pallas(ar, ai, t, in_spin, out_spin,
+                                        tile=tile)
     return realform.fidelity_herm_lanes(ar, ai, t, in_spin, out_spin)
 
 
 def _sweep_core(h0, ctrl, noises, key, bootreps, in_spin, out_spin,
                 complex_offdiag, chunk, use_jacobi,
-                c_offset, c_global) -> jnp.ndarray:
+                c_offset, c_global, use_pallas=False) -> jnp.ndarray:
     """Sweep a (local) controller block.
 
     Per-element PRNG keys are derived by folding the *global* flat lattice
@@ -122,7 +128,8 @@ def _sweep_core(h0, ctrl, noises, key, bootreps, in_spin, out_spin,
             lid, cid, gid = args
             keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, gid)
             return _chunk_kernel_lanes(h0r, ctrl[cid], noises[lid], keys,
-                                       in_spin, out_spin, complex_offdiag)
+                                       in_spin, out_spin, complex_offdiag,
+                                       use_pallas)
     else:
         def elem(args):
             lid, cid, gid = args
@@ -141,13 +148,15 @@ def _sweep_core(h0, ctrl, noises, key, bootreps, in_spin, out_spin,
 
 @partial(jax.jit,
          static_argnames=("bootreps", "in_spin", "out_spin",
-                          "complex_offdiag", "chunk", "use_jacobi"))
+                          "complex_offdiag", "chunk", "use_jacobi",
+                          "use_pallas"))
 def mc_fidelity_sweep(h0: jnp.ndarray, controllers: jnp.ndarray,
                       noises: jnp.ndarray, key: jax.Array, bootreps: int,
                       in_spin: int, out_spin: int,
                       complex_offdiag: bool = True,
                       chunk: int = DEFAULT_CHUNK,
-                      use_jacobi: bool = True) -> jnp.ndarray:
+                      use_jacobi: bool = True,
+                      use_pallas: bool = False) -> jnp.ndarray:
     """Fidelity-distribution tensor of shape (L, C, B).
 
     h0: (n, n) drift Hamiltonian; controllers: (C, n+1); noises: (L,).
@@ -157,7 +166,7 @@ def mc_fidelity_sweep(h0: jnp.ndarray, controllers: jnp.ndarray,
     """
     return _sweep_core(h0, controllers, noises, key, bootreps, in_spin,
                        out_spin, complex_offdiag, chunk, use_jacobi,
-                       jnp.uint32(0), controllers.shape[0])
+                       jnp.uint32(0), controllers.shape[0], use_pallas)
 
 
 @partial(jax.jit, static_argnames=("alpha",))

@@ -1,0 +1,188 @@
+"""Pallas TPU kernel: batched split-complex Jacobi transfer fidelity.
+
+The XLA lanes formulation (ops/realform.py) expresses each Jacobi rotation
+as slice updates on (n, n, B) HBM-resident arrays; XLA fuses well but
+still materialises intermediate tiles between rotation steps.  This kernel
+pins the ENTIRE working set — the split Hamiltonian (n^2 rows x B lanes)
+and the two carried eigenvector rows — in VMEM scratch for all
+sweeps x n(n-1)/2 rotations, touching HBM exactly twice per element:
+one read of the assembled Hamiltonian, one write of the fidelity.
+
+Layout: a (n*n, TILE) VMEM block per grid step; matrix entry (i, j) lives
+on sublane row i*n+j, the batch rides the 128-wide lane dimension.  The
+rotation schedule is static and fully unrolled inside the kernel; every
+operation is a (1, TILE) or (n, TILE) VPU vector op with static sublane
+indices.
+
+Used by the MC engine when `use_pallas=True` on TPU backends; numerically
+identical to realform.fidelity_herm_lanes (same schedule, same arithmetic)
+— pinned in tests/test_pallas.py on CPU interpret mode and validated on
+device by the bench checksum.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_TILE = 1024
+
+
+def _rotation_body(n, sweeps, ar, ai, vr, vi, eps):
+    """Unrolled Jacobi schedule on VMEM refs.
+
+    ar/ai: (n*n, T) refs; vr/vi: (2*n, T) refs holding rows [in, out].
+    """
+    def cmul(xr, xi, yr, yi):
+        return xr * yr - xi * yi, xr * yi + xi * yr
+
+    for _ in range(sweeps):
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                app = ar[p * n + p, :]
+                aqq = ar[q * n + q, :]
+                xr = ar[p * n + q, :]
+                xi = ai[p * n + q, :]
+                r = jnp.sqrt(xr * xr + xi * xi)
+                active = r > eps * (jnp.abs(app) + jnp.abs(aqq) + r)
+                safe = jnp.where(active, r, 1.0)
+                pr = jnp.where(active, xr / safe, 1.0)
+                pi_ = jnp.where(active, xi / safe, 0.0)
+                tau = (aqq - app) / (2.0 * safe)
+                t = jnp.sign(tau) / (jnp.abs(tau) +
+                                     jnp.sqrt(1.0 + tau * tau))
+                t = jnp.where(tau == 0.0, 1.0, t)
+                c = 1.0 / jnp.sqrt(1.0 + t * t)
+                s = t * c
+                c = jnp.where(active, c, 1.0)
+                s = jnp.where(active, s, 0.0)
+
+                # columns p, q of A (sublanes i*n+p / i*n+q, i = 0..n-1)
+                for i in range(n):
+                    cpr = ar[i * n + p, :]
+                    cpi = ai[i * n + p, :]
+                    cqr = ar[i * n + q, :]
+                    cqi = ai[i * n + q, :]
+                    tr, ti = cmul(pr, -pi_, cqr, cqi)
+                    ar[i * n + p, :] = c * cpr - s * tr
+                    ai[i * n + p, :] = c * cpi - s * ti
+                    tr, ti = cmul(pr, pi_, cpr, cpi)
+                    ar[i * n + q, :] = s * tr + c * cqr
+                    ai[i * n + q, :] = s * ti + c * cqi
+
+                # rows p, q of A (contiguous sublane runs)
+                rpr = ar[p * n:(p + 1) * n, :]
+                rpi = ai[p * n:(p + 1) * n, :]
+                rqr = ar[q * n:(q + 1) * n, :]
+                rqi = ai[q * n:(q + 1) * n, :]
+                tr, ti = cmul(pr, pi_, rqr, rqi)
+                nrp_r = c * rpr - s * tr
+                nrp_i = c * rpi - s * ti
+                tr, ti = cmul(pr, -pi_, rpr, rpi)
+                ar[q * n:(q + 1) * n, :] = s * tr + c * rqr
+                ai[q * n:(q + 1) * n, :] = s * ti + c * rqi
+                ar[p * n:(p + 1) * n, :] = nrp_r
+                ai[p * n:(p + 1) * n, :] = nrp_i
+
+                # carried V rows (2 rows x n columns)
+                for rrow in range(2):
+                    wpr = vr[rrow * n + p, :]
+                    wpi = vi[rrow * n + p, :]
+                    wqr = vr[rrow * n + q, :]
+                    wqi = vi[rrow * n + q, :]
+                    tr, ti = cmul(pr, -pi_, wqr, wqi)
+                    vr[rrow * n + p, :] = c * wpr - s * tr
+                    vi[rrow * n + p, :] = c * wpi - s * ti
+                    tr, ti = cmul(pr, pi_, wpr, wpi)
+                    vr[rrow * n + q, :] = s * tr + c * wqr
+                    vi[rrow * n + q, :] = s * ti + c * wqi
+
+
+def make_fidelity_kernel(n: int, in_spin: int, out_spin: int,
+                         sweeps: int, tile: int = DEFAULT_TILE,
+                         interpret: bool = False):
+    """Build fid = kernel(ar, ai, t): ar/ai (n*n, B), t (1, B) -> (1, B)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    eps = 1e-7
+
+    def kernel(ar_in, ai_in, t_in, fid_out, ar, ai, vr, vi):
+        ar[:, :] = ar_in[:, :]
+        ai[:, :] = ai_in[:, :]
+        rows = jax.lax.broadcasted_iota(jnp.int32,
+                                        (2 * n, t_in.shape[-1]), 0)
+        sel = (rows == (0 * n + in_spin)) | (rows == (1 * n + out_spin))
+        vr[:, :] = jnp.where(sel, 1.0, 0.0).astype(ar_in.dtype)
+        vi[:, :] = jnp.zeros((2 * n, t_in.shape[-1]), ar_in.dtype)
+
+        _rotation_body(n, sweeps, ar, ai, vr, vi, eps)
+
+        # phi = sum_k V[out,k] e^{-i t lam_k} conj(V[in,k])
+        t = t_in[0, :]
+        phr = jnp.zeros_like(t)
+        phi = jnp.zeros_like(t)
+        for k in range(n):
+            lam_k = ar[k * n + k, :]
+            bir = vr[0 * n + k, :]
+            bii = vi[0 * n + k, :]
+            aor = vr[1 * n + k, :]
+            aoi = vi[1 * n + k, :]
+            gr = aor * bir + aoi * bii
+            gi = aoi * bir - aor * bii
+            ang = lam_k * t
+            fr = jnp.cos(ang)
+            fi = -jnp.sin(ang)
+            phr = phr + gr * fr - gi * fi
+            phi = phi + gr * fi + gi * fr
+        fid_out[0, :] = phr * phr + phi * phi
+
+    nn = n * n
+
+    @partial(jax.jit, static_argnames=())
+    def run(ar, ai, t):
+        b = ar.shape[-1]
+        grid = (b // tile,)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((nn, tile), lambda i: (0, i)),
+                pl.BlockSpec((nn, tile), lambda i: (0, i)),
+                pl.BlockSpec((1, tile), lambda i: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((1, tile), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((1, b), ar.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((nn, tile), ar.dtype),
+                pltpu.VMEM((nn, tile), ar.dtype),
+                pltpu.VMEM((2 * n, tile), ar.dtype),
+                pltpu.VMEM((2 * n, tile), ar.dtype),
+            ],
+            interpret=interpret,
+        )(ar, ai, t.reshape(1, b))
+
+    return run
+
+
+from functools import lru_cache
+
+_kernel_cache = lru_cache(maxsize=64)(make_fidelity_kernel)
+
+
+def fidelity_herm_pallas(ar: jnp.ndarray, ai: jnp.ndarray, t: jnp.ndarray,
+                         in_spin: int, out_spin: int, sweeps: int = 6,
+                         tile: int = DEFAULT_TILE,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Lanes-layout fidelity via the Pallas kernel.
+
+    ar/ai: (n, n, B) split Hamiltonians, t: (B,).  B must be a multiple of
+    ``tile`` (the MC engine's chunking guarantees this).
+    """
+    n = ar.shape[0]
+    b = ar.shape[-1]
+    run = _kernel_cache(n, in_spin, out_spin, sweeps, tile, interpret)
+    fid = run(ar.reshape(n * n, b), ai.reshape(n * n, b), t)
+    return fid.reshape(b)
