@@ -292,6 +292,57 @@ class MCDataSim:
                         self.controllers[alg][noise]["controller"]))
         return np.array(cs).reshape(-1, self.Nspin + 1)
 
+    def get_wd_data_c(self, algo: str = "ppo"):
+        """Top-k-filtered RIM tensors for every sigma_train of one algo
+        plus the lbfgs baseline (mcsim.py:317-335)."""
+        rim_key = r"$W(.,\delta(x-1))$"
+        noise_keys = list(self.controllers[algo].keys())
+        out = []
+        for nk in noise_keys:
+            wd = self.get_metrics_dict(nk, self.noises, algoname=algo)[algo]
+            c = np.array(wd[rim_key])
+            if self.topk:
+                c = c[self.get_top_k_by_fid_idx(c, self.topk)]
+            out.append(c)
+        if "lbfgs" in self.controllers:
+            wd = self.get_metrics_dict(None, self.noises,
+                                       algoname="lbfgs")["lbfgs"]
+            c = np.array(wd[rim_key])
+            if self.topk:
+                c = c[self.get_top_k_by_fid_idx(c, self.topk)]
+            out.append(c)
+        return out
+
+    def tsneconts(self, fig_path: Optional[str] = None):
+        """t-SNE scatter of the pooled controller sets coloured by
+        (algo, sigma_train), top-k filtered by zero-noise RIM rank
+        (mcsim.py:277-315)."""
+        names2nkeys = [(alg, nk) for alg in self.controllers
+                       for nk in self.controllers[alg]]
+        emb = self.tsne_embedding()
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(8, 8))
+        rim_key = r"$W(.,\delta(x-1))$"
+        for slot, (alg, nk) in enumerate(names2nkeys[:len(emb)]):
+            tn = None if alg == "lbfgs" else nk
+            wd = self.get_metrics_dict(tn, self.noises, algoname=alg)[alg]
+            rim0 = np.array(wd[rim_key])[0]
+            keep = self.get_ranks(rim0) <= self.topk - 1
+            pts = np.asarray(emb[slot])
+            keep = keep[:len(pts)]
+            label = alg if alg == "lbfgs" else \
+                rf"{alg} $\sigma_{{train}}$={nk}"
+            ax.scatter(pts[keep, 0], pts[keep, 1], label=label, alpha=0.5,
+                       s=60, marker=rf"${alg[0]}$")
+        ax.legend(fontsize=8)
+        if fig_path:
+            fig.savefig(fig_path, bbox_inches="tight")
+            plt.close(fig)
+            return fig_path
+        return fig
+
     def tsne_embedding(self, perplexity: float = 50,
                        n_iter: int = 500) -> np.ndarray:
         """2-D t-SNE embedding of the pooled controller sets, cached to

@@ -154,6 +154,53 @@ class ControlOptimizer:
     def controls(self):
         return chain.control_projectors(self.Nspin, dtype=self.HH.dtype)
 
+    @staticmethod
+    def whole_sphere_sampling(size, dim):
+        """Box-Muller whole-ball sampling (qnewton.py:325-338)."""
+        nrvs = np.random.normal(0, 1, size=(size, dim))
+        l2 = np.sqrt(np.sum(nrvs * nrvs, axis=1))
+        r = np.random.random(size=size) / dim / l2
+        return r[:, None] * nrvs
+
+    def directional_perturbation(self):
+        """Single-Hermitian-pair perturbation (qnewton.py:340-364)."""
+        return noise_ops.directional_perturbation(
+            self.next_key(), self.Nspin, self.noise)
+
+    def find_min_fid_index(self, controller_list):
+        """Index of the minimum-fidelity controller (qnewton.py:457-462),
+        one vmapped batch instead of a map loop."""
+        xs = jnp.asarray(np.asarray(controller_list, dtype=float))
+        fids = jax.vmap(lambda x: realform.fidelity_from_controller_sym(
+            self.HH, x, self.In, self.Out))(xs)
+        return int(jnp.argmin(fids))
+
+    def ngd(self, funcalls: int, lr: float = 1e-2):
+        """RMSprop-flavoured noisy gradient descent — capability parity
+        with the reference's experimental torch path (qnewton.py:226-253,
+        unused by the pipeline) on the exact analytic gradient with a
+        fresh ham perturbation per step, via optax."""
+        import optax
+        tx = optax.rmsprop(lr)
+        w = jnp.asarray(self.init_points(1)[0])
+        state = tx.init(w)
+        spec = self.spec()
+
+        def step(carry, key):
+            w, state = carry
+            zr, _ = noise_ops.structured_perturbation_parts(
+                key, self.Nspin, spec.noise, complex_offdiag=False,
+                dtype=self.HH.dtype)
+            err, grad = realform.infidelity_and_gradient_sym(
+                self.HH + zr, w, self.In, self.Out)
+            updates, state = tx.update(grad, state)
+            w = optax.apply_updates(w, updates)
+            return (w, state), err
+
+        keys = jax.random.split(self.next_key(), funcalls)
+        (w, _), errs = jax.lax.scan(step, (w, state), keys)
+        return np.asarray(w), 1.0 - float(jnp.min(errs))
+
     def structured_perturabation(self):  # reference spelling kept
         zr, _ = noise_ops.structured_perturbation_parts(
             self.next_key(), self.Nspin, self.noise, complex_offdiag=False,

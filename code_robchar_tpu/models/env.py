@@ -243,6 +243,49 @@ class Environment:
         self.adp_func_calls_increment += int(fc) - 1 if self.adaptive else 0
         return float(reward)
 
+    # ----------------------- reference-API capability shims ----------------
+
+    def state_vector(self, occ):
+        return np.asarray(chain.basis_state(self.Nspin, occ,
+                                            dtype=jnp.float64).real)
+
+    def input_state(self):
+        rho = np.zeros((self.Nspin, self.Nspin))
+        rho[self.in_spin, self.in_spin] = 1
+        return rho
+
+    def output_state(self):
+        rho = np.zeros((self.Nspin, self.Nspin))
+        rho[self.out_spin, self.out_spin] = 1
+        return rho
+
+    def reinit_sys_hamiltonian(self):
+        """Re-draw the masked perturbed system of transfer-learning mode
+        (RLreinforce...:75-80)."""
+        pert, _ = noise_ops.structured_perturbation_parts(
+            self._next(), self.Nspin, 0.1, complex_offdiag=False,
+            dtype=self.sys.dtype)
+        mask = 1.0 - jnp.eye(self.Nspin, dtype=self.sys.dtype)
+        self.sys = (chain.xx_hamiltonian_real(self.Nspin) + pert) * mask
+
+    def change_sys_ham(self, default_variation: float = 0.1):
+        """Perturb the system's couplings in place (RLreinforce...:136-143:
+        small Gaussian bumps on nearest-neighbour couplings)."""
+        nn, _ = noise_ops.structured_perturbation_parts(
+            self._next(), self.Nspin, default_variation,
+            complex_offdiag=False, dtype=self.sys.dtype)
+        off = nn - jnp.diag(jnp.diag(nn))  # couplings only, no diagonal
+        self.sys = self.sys + off
+
+    def normalize(self):
+        """Wrap action/time back into bounds (RLreinforce...:253-257)."""
+        a = np.asarray(self.action)
+        if (np.abs(a) > self.max).any():
+            self.action = np.asarray(_wrap_action(jnp.asarray(a),
+                                                  float(self.max)))
+        self.timestep = float(_normalise_time(jnp.asarray(abs(
+            self.timestep)), float(self.maxtime)))
+
     def true_fid(self, action_matrix, timestep_n=None):
         t = self.timestep if timestep_n is None else timestep_n
         a = jnp.asarray(np.diag(np.asarray(action_matrix)))

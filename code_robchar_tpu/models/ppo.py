@@ -90,7 +90,9 @@ class PPO_en:
                  lam=0.97, gamma=0.99, pi_lr=3e-3, vf_lr=1e-3,
                  use_fixed_ham=False, opt_train_size=100,
                  records_update_rate=None, num_agents: int = 1,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None,
+                 use_wass_value_targets: bool = False,
+                 wass_bootstrap_reps: int = 30):
         self.nspin = nspin
         self.In = in_spin
         self.Out = out_spin
@@ -115,6 +117,12 @@ class PPO_en:
         self.train_size = opt_train_size
         self.records_update_rate = records_update_rate
         self.num_agents = num_agents
+        # Wasserstein-cost value targets (ppo.py:277-286): the reference
+        # wires this behind `update(max_fid_seen > 1)` — unreachable since
+        # fidelities are <= 1 — but the capability is part of the trainer's
+        # surface, so here it is an explicit opt-in flag.
+        self.use_wass_value_targets = use_wass_value_targets
+        self.wass_bootstrap_reps = wass_bootstrap_reps
 
         # the Experiment driver mutates .env.noise post-construction
         # (noise_analysis.py:343-344), so the env wrapper is the config home
@@ -247,6 +255,15 @@ class PPO_en:
                                                (params, vf_opt))
             return params, pi_opt, vf_opt, kl, pi_iters
 
+        if self.use_wass_value_targets:
+            from code_robchar_tpu.models import objectives
+            spec = objectives.ObjectiveSpec(
+                h0=h0, in_spin=cfg.in_spin, out_spin=cfg.out_spin,
+                noise=cfg.noise, fid_noisy=False, ham_noisy=True,
+                draws=cfg.draws, adaptive=False, adp_tol=cfg.adp_tol,
+                fixed_hams=None, mul_fac=1)
+            wass = objectives.make_wass_cost(spec, self.wass_bootstrap_reps)
+
         def epoch(st: AgentState):
             (env_st, obs_f, ep_len, key), traj = rollout(st)
             (obs, act, rew, val, logp, obs2, true_fid, term, boot,
@@ -255,6 +272,12 @@ class PPO_en:
             boundaries = term.at[-1].set(True)
             advs, rets = gae_and_returns(rew, val, boundaries, boot, gamma,
                                          lam)
+            if self.use_wass_value_targets:
+                # value targets become -W1(F(obs), delta(1)) per visited
+                # controller (ppo.py:280-283), one vmapped batch
+                kw = jax.random.split(jax.random.fold_in(key, 11),
+                                      obs.shape[0])
+                rets = -jax.vmap(wass)(obs, kw)
             advs = (advs - advs.mean()) / jnp.maximum(advs.std(), 1e-8)
             params, pi_opt, vf_opt, kl, pi_iters = update(
                 st.params, st.pi_opt, st.vf_opt,

@@ -1,0 +1,85 @@
+"""Capability-parity shims: the smaller reference API surfaces."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from code_robchar_tpu.models import LBFGS, PPO_en
+from code_robchar_tpu.models.env import Environment
+from code_robchar_tpu.utils.rename import sanitize_name, rename_files
+from code_robchar_tpu.figs.generate_all import convert_to_gray
+
+
+def test_lbfgs_reference_surface():
+    opt = LBFGS(4, 0, 2, testing=True)
+    # host-side reference methods (qnewton.py API)
+    f = opt.fidelity_ss([1.0, 2.0, 3.0, 4.0, 5.0])
+    assert 0 <= f <= 1
+    err, grad = opt.eval_static_fidelity_gradient([1.0, 2.0, 3.0, 4.0, 5.0])
+    assert abs((1 - f) - err) < 1e-10
+    ol = opt.overlap_ss([1.0, 2.0, 3.0, 4.0, 5.0])
+    assert 0 <= ol <= 1
+    z = np.asarray(opt.directional_perturbation())
+    assert np.allclose(z, z.conj().T) or np.count_nonzero(z) == 1
+    s = opt.whole_sphere_sampling(10, 5)
+    assert s.shape == (10, 5)
+    assert opt.find_min_fid_index([[0.0] * 5, [1.0, 2, 3, 4, 5]]) in (0, 1)
+    w, best = opt.ngd(50)
+    assert w.shape == (5,) and 0 <= best <= 1
+    assert np.asarray(opt.controls()).shape == (4, 4, 4)
+    # wass cost is a bounded robustness score
+    assert 0 <= opt.wass_cost([1.0, 2, 3, 4, 5], bootstrap_reps=8) <= 1
+
+
+def test_env_reference_surface():
+    env = Environment(4, 0, 2, np.zeros(4), transfer_learning=True)
+    assert np.allclose(np.diag(np.asarray(env.sys)), 0)  # masked diagonal
+    env.reinit_sys_hamiltonian()
+    assert np.allclose(np.diag(np.asarray(env.sys)), 0)
+    before = np.asarray(env.sys).copy()
+    env.change_sys_ham(0.05)
+    assert not np.allclose(before, np.asarray(env.sys))
+    env.action = np.array([30.0, 0.0, 0.0, 1.0])
+    env.timestep = 45.0
+    env.normalize()
+    assert np.all(np.abs(env.action) <= env.max)
+    assert env.timestep <= env.maxtime
+    assert env.input_state()[0, 0] == 1 and env.output_state()[2, 2] == 1
+
+
+def test_env_fixed_ham_averaged_propagator():
+    env = Environment(3, 0, 2, np.zeros(3), use_fixed_ham=True,
+                      opt_train_size=5)
+    env.reset()
+    env.timestep = 2.0
+    _, r, _ = env.step(np.diag([0.1, 0.2, 0.3]))
+    assert 0 <= r <= 1
+
+
+def test_ppo_wass_value_targets_smoke():
+    ppo = PPO_en(3, 0, 2, testing=True, fid_threshold=0.0,
+                 run_until_told_to_stop=True, run_until_completion_its=60,
+                 landscape_exploration=True, save_topc=5,
+                 use_wass_value_targets=True, wass_bootstrap_reps=4)
+    best = ppo.run(steps_per_epoch=30, train_pi_iters=2, train_v_iters=2)
+    assert 0 <= best <= 1 + 1e-9
+
+
+def test_rename_sanitizer(tmp_path):
+    weird = "x_nlvl[0.   0.01].mc"
+    (tmp_path / weird).write_text("{}")
+    assert sanitize_name(weird) == "x_nlvl(0.___0.01).mc"
+    changed = rename_files(str(tmp_path))
+    assert changed == [(weird, "x_nlvl(0.___0.01).mc")]
+    assert os.path.exists(tmp_path / "x_nlvl(0.___0.01).mc")
+
+
+def test_convert_to_gray_no_gs(tmp_path):
+    # without ghostscript the converter still produces output files
+    src = tmp_path / "figs"
+    src.mkdir()
+    (src / "a.pdf").write_bytes(b"%PDF-1.4 fake")
+    out = convert_to_gray(str(src))
+    assert len(out) == 1 and os.path.exists(out[0])
