@@ -178,12 +178,24 @@ def metric_tensors(fids: jnp.ndarray, alpha: float = 0.05
     the reference's deliberate band-naming inversion: the "upper" tensor is
     computed from fids - dkw and "lower" from fids + dkw, because the ideal
     sits at fidelity 1 (mcsim.py:483-485).
+
+    Performance: the RIM is computed through the exact identity
+    W1(F, delta_1) = E[1 - F] for F in [0, 1] (the reference's own test
+    suite asserts wd_from_ideal == RIM_1; see metrics/rim.py) — so no
+    metric here needs a sort and the whole tensor is a few fused
+    reductions over the bootstrap axis.
     """
     eps = compute_dkw_error(alpha, fids.shape[-1])
     shifted_lower = jnp.clip(fids + eps, 0.0, 1.0)
     shifted_upper = jnp.clip(fids - eps, 0.0, 1.0)
+
+    def rim_sortless(f):
+        return jnp.mean(1.0 - f, axis=-1)
+
+    registry = dict(metric_registry)
+    registry[r"$W(.,\delta(x-1))$"] = rim_sortless
     out = {}
-    for name, fn in metric_registry.items():
+    for name, fn in registry.items():
         out[name] = fn(fids)
         out[name + " upper"] = fn(shifted_upper)
         out[name + " lower"] = fn(shifted_lower)
