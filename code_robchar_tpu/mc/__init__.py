@@ -4,6 +4,7 @@ from code_robchar_tpu.mc.engine import (
     mc_fidelity_sweep,
     metric_tensors,
     arim_from_rims,
+    characterise,
 )
 from code_robchar_tpu.mc.datasim import MCDataSim
 
@@ -11,5 +12,6 @@ __all__ = [
     "mc_fidelity_sweep",
     "metric_tensors",
     "arim_from_rims",
+    "characterise",
     "MCDataSim",
 ]

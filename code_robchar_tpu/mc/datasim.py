@@ -292,6 +292,25 @@ class MCDataSim:
                         self.controllers[alg][noise]["controller"]))
         return np.array(cs).reshape(-1, self.Nspin + 1)
 
+    def set_fig_save_directory(self, cur_save_folder: str) -> None:
+        """Reference figure-save directory API (mcsim.py:246-249)."""
+        self.cur_save_folder = cur_save_folder
+        os.makedirs(cur_save_folder, exist_ok=True)
+
+    def save_fig(self, fig, name="noiseless_comp", pltrows=None,
+                 pltcols=None, copyto=None, keepsimple=False) -> str:
+        """Reference save_fig API (mcsim.py:553-563)."""
+        if keepsimple:
+            fname = f"{self.cur_save_folder}/{name}.pdf"
+        else:
+            fname = (f"{self.cur_save_folder}/{name}_c{pltcols}_r{pltrows}"
+                     f"_{self.Nspin}_-{self.outspin}.pdf")
+        fig.savefig(fname, dpi=300, bbox_inches="tight")
+        if copyto:
+            import shutil
+            shutil.copy(fname, copyto)
+        return fname
+
     def get_wd_data_c(self, algo: str = "ppo"):
         """Top-k-filtered RIM tensors for every sigma_train of one algo
         plus the lbfgs baseline (mcsim.py:317-335)."""

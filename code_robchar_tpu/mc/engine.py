@@ -202,6 +202,37 @@ def metric_tensors(fids: jnp.ndarray, alpha: float = 0.05
     return out
 
 
+def characterise(h0, controllers, noises, key, bootreps: int, in_spin: int,
+                 out_spin: int, *, alpha: float = 0.05,
+                 complex_offdiag: bool = True, chunk: int = DEFAULT_CHUNK,
+                 use_pallas: Optional[bool] = None, mesh=None
+                 ) -> Dict[str, jnp.ndarray]:
+    """One-call robustness characterisation: fidelity sweep + the full
+    five-metric x three-band tensor dict, optionally sharded over a device
+    mesh (controller axis).
+
+    ``use_pallas=None`` auto-selects: the Pallas kernel on TPU backends,
+    the XLA lanes path elsewhere.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    controllers = jnp.asarray(controllers)
+    if mesh is not None:
+        from code_robchar_tpu.parallel.mesh import sharded_mc_sweep
+        fids = sharded_mc_sweep(mesh, h0, controllers, noises, key,
+                                bootreps, in_spin, out_spin,
+                                complex_offdiag=complex_offdiag,
+                                chunk=chunk, use_pallas=use_pallas)
+    else:
+        fids = mc_fidelity_sweep(h0, controllers, noises, key, bootreps,
+                                 in_spin, out_spin,
+                                 complex_offdiag=complex_offdiag,
+                                 chunk=chunk, use_pallas=use_pallas)
+    out = dict(metric_tensors(fids, alpha))
+    out["fids"] = fids
+    return out
+
+
 def arim_from_rims(rims: jnp.ndarray) -> jnp.ndarray:
     """Algorithm-level RIM: Wasserstein distance of the trailing-axis RIM
     sample (over controllers) from delta(x-0), i.e.

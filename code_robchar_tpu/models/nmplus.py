@@ -207,6 +207,41 @@ class NMPlus(ControlOptimizer):
         return 1 - self.fidelity_ss(x, noisy=self.fid_noisy,
                                     ham_noisy=self.ham_noisy)
 
+    @staticmethod
+    def powell(x):
+        """Benchmark objective 1 (nmplus.py:54-60)."""
+        x = np.asarray(x, dtype=float)
+        return (((x[:-1] + x[1:]) ** 2).sum() +
+                (5 * (x[2:-1] - x[3:]) ** 2).sum() +
+                ((x[1:-1] - 2 * x[2:]) ** 4).sum() +
+                (10 * (x[:-3] - x[3:]) ** 4).sum())
+
+    @staticmethod
+    def f(x):
+        """Benchmark objective 2 (nmplus.py:61-64)."""
+        import math
+        return math.sin(x[0]) * math.cos(x[1]) * (1.0 / (abs(x[2]) + 2))
+
+    def sort_simplex(self, simplex, obj_f=None):
+        """Sort simplex vertices by objective value (nmplus.py:66-73)."""
+        obj_f = obj_f or self.infidelity
+        vals = [float(obj_f(v)) for v in np.asarray(simplex)]
+        order = np.argsort(vals)
+        return np.asarray(simplex)[order], sorted(vals)
+
+    def estimate_hyperplane(self, sorted_simplex, infidelities):
+        """Least-squares hyperplane coefficients through the simplex
+        (nmplus.py:76-84) — the 'planar reflection' direction of the
+        accelerated variant (flagged broken upstream, nmplus.py:327-331;
+        exposed for capability parity, solved with lstsq rather than an
+        explicit inverse)."""
+        s = np.asarray(sorted_simplex, dtype=float)
+        x = np.ones((s.shape[0], s.shape[1] + 1))
+        x[:, 1:] = s
+        g, *_ = np.linalg.lstsq(x, np.asarray(infidelities, float),
+                                rcond=None)
+        return g[1:]
+
     def run_accelerated(self, iterations: int, simplex=None):
         """The reference's in-house `_run` (nmplus.py:152-189) equivalent:
         a single regular-simplex NM stream on device, returned as

@@ -45,7 +45,7 @@ def shard_batch(mesh: Mesh, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
 def sharded_mc_sweep(mesh: Mesh, h0, controllers, noises, key, bootreps: int,
                      in_spin: int, out_spin: int, *,
                      complex_offdiag: bool = True,
-                     use_jacobi: bool = True,
+                     use_jacobi: bool = True, use_pallas: bool = False,
                      chunk: int = engine.DEFAULT_CHUNK) -> jnp.ndarray:
     """(L, C, B) fidelity tensor with the controller axis sharded.
 
@@ -70,7 +70,8 @@ def sharded_mc_sweep(mesh: Mesh, h0, controllers, noises, key, bootreps: int,
         offset = (dev * c_local).astype(jnp.uint32)
         return engine._sweep_core(
             h0, ctrl_block, noises, key, bootreps, in_spin, out_spin,
-            complex_offdiag, local_chunk, use_jacobi, offset, c_global)
+            complex_offdiag, local_chunk, use_jacobi, offset, c_global,
+            use_pallas)
 
     fn = shard_map(local_sweep, mesh=mesh,
                    in_specs=P(BATCH_AXIS, None),
