@@ -50,17 +50,25 @@ class Adam(ControlOptimizer):
         eta, gate = self.eta, self.grad_gate
         seg = self.segment_its
 
+        # Sobol restart candidates (qnewton.py:659-660, 683-684): the
+        # quasi-MC stream is generated host-side and indexed by iteration
+        # on device, keeping the restart gate pure inside the scan.
+        sobol_table = jnp.asarray(self._sobol_stream(4096)) \
+            if self.landscape_exploration else None
+
         def step(carry, _):
             w, m, v, it, key = carry
 
-            # restart gate every 5000 its: draw uniform points
-            # until grad norm clears the gate (restart probes bill 1 fcall
-            # each; here one probe per segment step suffices statistically,
-            # matching the gate's intent).
+            # restart gate every 5000 its: candidate must clear the
+            # gradient-norm gate (restart probes bill 1 fcall each).
             key, kr = jax.random.split(key)
             need_restart = ((it + 1) % _RESTART_EVERY == 0)
-            w_cand = lower + (upper - lower) * \
-                jax.random.uniform(kr, w.shape, dtype=w.dtype)
+            if sobol_table is not None:
+                u = sobol_table[(it // _RESTART_EVERY) %
+                                sobol_table.shape[0]].astype(w.dtype)
+            else:
+                u = jax.random.uniform(kr, w.shape, dtype=w.dtype)
+            w_cand = lower + (upper - lower) * u
             _, g_cand = exact(w_cand)
             cand_ok = jnp.linalg.norm(g_cand) > gate
             w = jnp.where(need_restart & cand_ok, w_cand, w)

@@ -83,3 +83,24 @@ def test_convert_to_gray_no_gs(tmp_path):
     (src / "a.pdf").write_bytes(b"%PDF-1.4 fake")
     out = convert_to_gray(str(src))
     assert len(out) == 1 and os.path.exists(out[0])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from code_robchar_tpu.utils.checkpoint import save_state, restore_state
+    state = {"w": jnp.arange(4.0), "step": jnp.asarray(7)}
+    p = save_state(str(tmp_path / "ckpt"), state)
+    back = restore_state(str(tmp_path / "ckpt"), template=state)
+    assert float(back["w"][2]) == 2.0 and int(back["step"]) == 7
+
+
+def test_stopwatch_and_timed(capsys):
+    import jax.numpy as jnp
+    from code_robchar_tpu.utils.trace import Stopwatch, timed
+    sw = Stopwatch()
+    with sw.section("a"):
+        pass
+    assert "a:" in sw.report()
+    with timed("x", sync_on=jnp.ones(3)):
+        pass
+    assert "[x]" in capsys.readouterr().out
