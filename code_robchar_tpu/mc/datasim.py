@@ -49,7 +49,8 @@ class MCDataSim:
                  numcontrollers: int = 100, dkw_conflvl: float = 0.95,
                  filemarker: Optional[str] = None, topk: int = 100,
                  global_experiments_directory: str = "experiments",
-                 seed: int = 0, use_jacobi: bool = False):
+                 seed: int = 0, use_jacobi: bool = False,
+                 use_pallas: bool = False):
         self.experiment_name = experiment_name
         self.Nspin = Nspin
         self.inspin = inspin
@@ -64,6 +65,7 @@ class MCDataSim:
         self.global_experiments_directory = global_experiments_directory
         self.seed = seed
         self.use_jacobi = use_jacobi
+        self.use_pallas = use_pallas
 
         namer = ExperimentNamer(
             experiment_name=experiment_name, Nspin=Nspin, inspin=inspin,
@@ -171,7 +173,8 @@ class MCDataSim:
             self._h0, jnp.asarray(xs_valid), jnp.asarray(noises),
             jax.random.key(self.seed), self.bootreps,
             self.inspin, self.outspin, complex_offdiag=True,
-            use_jacobi=self.use_jacobi)
+            use_jacobi=self.use_jacobi or self.use_pallas,
+            use_pallas=self.use_pallas)
         fids = np.array(fids)  # writable host copy
         fids[:, ~valid, :] = np.nan  # NaN-pad missing controllers
 
@@ -193,18 +196,23 @@ class MCDataSim:
             training_noise = self.training_noise
         noises = self.noises if noises is None else np.asarray(noises)
         mcm = self.get_mcname(training_noise, noises) + "m"
-        if os.path.exists(mcm):
-            return self.loadsimdata(mcm)
+        out = self.loadsimdata(mcm) if os.path.exists(mcm) else {}
 
         algos = [algoname] if isinstance(algoname, str) else self.algos
-        fid_dists = self.get_fid_dists(training_noise, noises, algoname)
-        out = {}
-        for algo in algos:
+        missing = [a for a in algos if a not in out]
+        changed = False
+        for algo in missing:
+            # per-algo so an lbfgs (tn=None) request never forces sweeps of
+            # stores that have no such training-noise key; results
+            # accumulate into the shared .mc/.mcm cache files
+            fid_dists = self.get_fid_dists(training_noise, noises, algo)
             tensor = jnp.asarray(fid_dists[algo])
             metrics = engine.metric_tensors(tensor, self.alpha)
             out[algo] = {k: np.asarray(v).tolist()
                          for k, v in metrics.items()}
-        io.dump_json(out, mcm)
+            changed = True
+        if changed:
+            io.dump_json(out, mcm)
         return out
 
     # ------------------------------------------------- ranking / selection
