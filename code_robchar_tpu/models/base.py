@@ -16,18 +16,16 @@ batches.  Batch size auto-scales so that fcall-budget checkpoints
 
 from __future__ import annotations
 
-import time
-from typing import Dict, List, NamedTuple, Optional
+from typing import Dict, NamedTuple, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from code_robchar_tpu import config
 from code_robchar_tpu.models import objectives
 from code_robchar_tpu.ops import chain, noise as noise_ops, realform, sobol
 from code_robchar_tpu.utils.record import RunRecord, TopControllers
-from code_robchar_tpu.utils.timeout import Deadline, TimeoutError_
+from code_robchar_tpu.utils.timeout import Deadline
 
 
 class BatchResult(NamedTuple):

@@ -22,7 +22,6 @@ flagged here.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

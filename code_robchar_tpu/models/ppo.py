@@ -30,7 +30,6 @@ import optax
 from code_robchar_tpu.models import actor_critic as ac
 from code_robchar_tpu.models.env import EnvConfig, EnvState, env_reset, \
     env_step
-from code_robchar_tpu.ops import chain
 from code_robchar_tpu.utils.record import RunRecord, TopControllers
 from code_robchar_tpu.utils.timeout import Deadline
 

@@ -55,3 +55,23 @@ def test_shipped_lbfgs_baseline_key(shipped):
     assert xs.shape == (1000, 6)
     md = sim.get_metrics_dict(None, algoname="lbfgs")
     assert "lbfgs" in md
+
+
+LEGACY_DIR = "/root/reference/noisy_analysis"
+
+
+@pytest.mark.skipif(not os.path.exists(LEGACY_DIR),
+                    reason="reference data not mounted")
+def test_fig1_reads_real_legacy_records():
+    """The CDF-area figure consumes the reference's actual legacy
+    noisy_analysis records (produced by an older generation of the
+    reference codebase — the realest schema-compat check available)."""
+    from code_robchar_tpu.figs import CDFAreaExample
+    ex = CDFAreaExample(LEGACY_DIR, spin=5, inspin=0, outspin=2,
+                        bootreps=4, controllers=20)
+    noises, fl, fp = ex.get_sd_results(np.linspace(0, 0.3, 3))
+    assert fl.shape == (2, 20, 4)
+    # shipped lbfgs controllers reach high fidelity at low noise
+    assert np.nanmax(fl[0]) > 0.9
+    xs, ca, cb = ex.joint_ecdfs(fl[0, 0], fp[0, 0])
+    assert (np.diff(ca) >= 0).all() and ca[-1] <= 1.0
