@@ -77,13 +77,20 @@ def _wrap_action(a, bmax):
 
 def env_step(cfg: EnvConfig, h0: jnp.ndarray, state: EnvState,
              a_bias: jnp.ndarray, a_time: jnp.ndarray, key: jax.Array,
-             fixed_hams: Optional[jnp.ndarray] = None):
+             fixed_hams: Optional[jnp.ndarray] = None,
+             with_true_fid: bool = True):
     """One control step.  Returns (state', obs, reward, true_fid, done,
     fcalls) — fcalls carries the shot-noise draw accounting in-band.
 
     ``h0`` (and ``fixed_hams``) are REAL symmetric: the training-side
     physics never leaves the reals (SURVEY.md quirk 7), so the whole step
     runs on the split-real kernels (ops/realform.py) — TPU-safe.
+
+    ``with_true_fid=False`` skips the noiseless-fidelity eigendecomposition
+    (returns 0.0 in that slot): inside a sequential rollout scan this
+    halves the serial eigh depth — callers recompute true fidelities for
+    the whole trajectory in ONE batched call afterwards
+    (``true_fidelity_batch``).
     """
     kh, ks = jax.random.split(key)
     h0 = jnp.real(h0) if jnp.iscomplexobj(h0) else h0
@@ -121,7 +128,10 @@ def env_step(cfg: EnvConfig, h0: jnp.ndarray, state: EnvState,
             h = h + zr
         fid = realform.fidelity_sym(h, t, cfg.in_spin, cfg.out_spin)
 
-    true_fid = realform.fidelity_sym(hc, t, cfg.in_spin, cfg.out_spin)
+    if with_true_fid:
+        true_fid = realform.fidelity_sym(hc, t, cfg.in_spin, cfg.out_spin)
+    else:
+        true_fid = jnp.asarray(0.0, h0.dtype)
 
     fcalls = jnp.asarray(1, jnp.int32)
     reward = fid
@@ -137,6 +147,15 @@ def env_step(cfg: EnvConfig, h0: jnp.ndarray, state: EnvState,
     state = EnvState(action=action, timestep=t, final_time=final_time)
     obs = jnp.concatenate([action, t[None]])
     return state, obs, reward, true_fid, done, fcalls
+
+
+def true_fidelity_batch(cfg: EnvConfig, h0: jnp.ndarray,
+                        stores: jnp.ndarray) -> jnp.ndarray:
+    """Noiseless fidelities of a (T, n+1) trajectory of controller
+    snapshots (action biases + time) as one batched lanes-friendly call."""
+    n = cfg.n
+    h = h0 + jnp.eye(n, dtype=h0.dtype) * stores[:, None, :n]
+    return realform.fidelity_sym(h, stores[:, n], cfg.in_spin, cfg.out_spin)
 
 
 class Environment:

@@ -29,7 +29,7 @@ import optax
 
 from code_robchar_tpu.models import actor_critic as ac
 from code_robchar_tpu.models.env import EnvConfig, EnvState, env_reset, \
-    env_step
+    env_step, true_fidelity_batch
 from code_robchar_tpu.utils.record import RunRecord, TopControllers
 from code_robchar_tpu.utils.timeout import Deadline
 
@@ -187,8 +187,12 @@ class PPO_en:
                 env_st, obs, ep_len, key = carry
                 key, ka, ke = jax.random.split(key, 3)
                 a, v, logp = ac.policy_step(st.params, apply, obs, ka)
+                # true fidelities are recomputed for the whole trajectory
+                # in one batched call after the scan — keeps the serial
+                # eigh depth of the rollout at one per step
                 env_st2, obs2, r, true_fid, done, fc = env_step(
-                    cfg, h0, env_st, a[:-1], a[-1], ke, fixed_hams=fixed)
+                    cfg, h0, env_st, a[:-1], a[-1], ke, fixed_hams=fixed,
+                    with_true_fid=False)
                 ep_len = ep_len + 1
                 ttimeout = ep_len == max_ep_len
                 terminal = done | ttimeout
@@ -267,6 +271,7 @@ class PPO_en:
             (env_st, obs_f, ep_len, key), traj = rollout(st)
             (obs, act, rew, val, logp, obs2, true_fid, term, boot,
              fc) = traj
+            true_fid = true_fidelity_batch(cfg, h0, obs2)
             # epoch end always closes the open trajectory (ppo.py:409-421)
             boundaries = term.at[-1].set(True)
             advs, rets = gae_and_returns(rew, val, boundaries, boot, gamma,
