@@ -2,8 +2,17 @@
 
 from code_robchar_tpu.ops.chain import (
     xx_hamiltonian,
+    xx_hamiltonian_real,
     basis_state,
     control_projectors,
+)
+from code_robchar_tpu.ops.realform import (
+    jacobi_eigh_sym,
+    jacobi_eigh_herm,
+    fidelity_sym,
+    fidelity_herm,
+    fidelity_from_controller_sym,
+    infidelity_and_gradient_sym,
 )
 from code_robchar_tpu.ops.propagate import (
     propagator,
@@ -22,6 +31,13 @@ from code_robchar_tpu.ops.noise import (
 
 __all__ = [
     "xx_hamiltonian",
+    "xx_hamiltonian_real",
+    "jacobi_eigh_sym",
+    "jacobi_eigh_herm",
+    "fidelity_sym",
+    "fidelity_herm",
+    "fidelity_from_controller_sym",
+    "infidelity_and_gradient_sym",
     "basis_state",
     "control_projectors",
     "propagator",
