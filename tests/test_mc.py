@@ -178,3 +178,37 @@ def test_best_controller_perf_rank_sum(rng):
     assert best_c.shape == (4,)
     # the rank-sum winner must be a real column of the tensor
     assert any(np.allclose(best_c, metric[:, j]) for j in range(10))
+
+
+def test_metric_tensor_bands_match_sorted_oracle(rng):
+    """The sortless production metric path must equal the sorted-CDF
+    oracle on ALL three DKW bands."""
+    fids = jnp.asarray(rng.uniform(size=(2, 5, 40)))
+    md = metric_tensors(fids, alpha=0.05)
+    eps = float(np.sqrt(np.log(2 / 0.05) / (2 * 40)))
+    for suffix, shifted in [("", fids),
+                            (" upper", jnp.clip(fids - eps, 0, 1)),
+                            (" lower", jnp.clip(fids + eps, 0, 1))]:
+        np.testing.assert_allclose(
+            np.asarray(md[r"$W(.,\delta(x-1))$" + suffix]),
+            np.asarray(wd_from_ideal(shifted)), atol=1e-12)
+
+
+def test_characterise_cpu_autoselects_xla(rng):
+    """use_pallas=None must not pick the Pallas kernel on CPU."""
+    from code_robchar_tpu.mc import characterise
+    h0 = chain.xx_hamiltonian_real(4)
+    ctrl = jnp.asarray(np.column_stack([rng.uniform(-5, 5, (4, 4)),
+                                        rng.uniform(1, 5, 4)]))
+    out = characterise(h0, ctrl, jnp.asarray([0.05]), jax.random.key(0),
+                       3, 0, 2)  # auto
+    assert out["fids"].shape == (1, 4, 3)
+
+
+def test_drivers_usage_exit():
+    import subprocess, sys
+    r = subprocess.run([sys.executable, "-m",
+                        "code_robchar_tpu.exp.drivers"],
+                       capture_output=True, text=True)
+    assert r.returncode == 2
+    assert "usage" in (r.stdout + r.stderr)
