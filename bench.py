@@ -89,16 +89,17 @@ def main():
     except Exception:
         kwargs["use_pallas"] = False
 
-    # warm-up at the EXACT production shapes: compilation + first run
-    warm = engine.mc_fidelity_sweep(h0, ctrl, noises, key, **kwargs)
-    warm.block_until_ready()
+    # warm-up at the EXACT production shapes: compilation + first run.
+    # The timed program is the FUSED sweep+metric reduction
+    # (engine.mc_metric_sweep): metrics accumulate inside the lax.map
+    # chunks, so the (11, 10k, 100) fidelity tensor never exists in HBM.
+    warm = engine.mc_metric_sweep(h0, ctrl, noises, key, **kwargs)
     handshake.join()
-    float(jnp.sum(warm))  # fetch barrier: warm run fully retired
+    float(jnp.sum(warm[r"$W(.,\delta(x-1))$"]))  # fetch barrier
 
     start = time.perf_counter()
-    fids = engine.mc_fidelity_sweep(h0, ctrl, noises,
-                                    jax.random.key(1), **kwargs)
-    metrics = engine.metric_tensors(fids)
+    metrics = engine.mc_metric_sweep(h0, ctrl, noises,
+                                     jax.random.key(1), **kwargs)
     checksum = float(jnp.sum(metrics[r"$W(.,\delta(x-1))$"]))
     elapsed = time.perf_counter() - start
 

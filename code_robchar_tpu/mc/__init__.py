@@ -2,6 +2,7 @@
 
 from code_robchar_tpu.mc.engine import (
     mc_fidelity_sweep,
+    mc_metric_sweep,
     metric_tensors,
     arim_from_rims,
     characterise,
@@ -10,6 +11,7 @@ from code_robchar_tpu.mc.datasim import MCDataSim
 
 __all__ = [
     "mc_fidelity_sweep",
+    "mc_metric_sweep",
     "metric_tensors",
     "arim_from_rims",
     "characterise",

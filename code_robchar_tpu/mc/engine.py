@@ -146,6 +146,100 @@ def _sweep_core(h0, ctrl, noises, key, bootreps, in_spin, out_spin,
     return fids.reshape(num_l, num_c, bootreps)
 
 
+def _fused_chunk_cells(chunk: int, bootreps: int, cells: int,
+                       use_pallas: bool) -> int:
+    """Cells per lax.map step for the fused metric sweep.
+
+    Aim for ~``chunk`` lattice elements per step, but round the cell count
+    UP so the element batch (cells_per_chunk * bootreps) is a multiple of
+    the Pallas tile — otherwise _chunk_kernel_lanes would silently fall
+    back to the XLA path on TPU."""
+    import math
+
+    cc = max(1, min(chunk // bootreps, cells))
+    if use_pallas:
+        tile = 1024
+        step = tile // math.gcd(bootreps, tile)
+        cc = -(-cc // step) * step  # may exceed cells; padding wraps
+    return cc
+
+
+def _metrics_core(h0, ctrl, noises, key, bootreps, in_spin, out_spin,
+                  complex_offdiag, chunk, use_jacobi, c_offset, c_global,
+                  use_pallas, alpha) -> Dict[str, jnp.ndarray]:
+    """Fused sweep + metric reduction: never materialises the (L, C, B)
+    tensor (the .mcm fast path, mcsim.py:463-510 semantics unchanged).
+
+    Because the lattice layout puts the bootstrap axis fastest, a chunk
+    whose element count is a multiple of ``bootreps`` holds only WHOLE
+    (noise, controller) cells — so each lax.map step computes fidelities
+    for its cells and immediately reduces them to the five-metric x
+    three-band stack on a complete (cells_per_chunk, B) slice.  Identical
+    draws and key derivation to _sweep_core (same global flat ids):
+    fidelities are bitwise equal to the unfused sweep's, and the metric
+    tensors agree with metric_tensors(mc_fidelity_sweep(...)) to reduction
+    reassociation rounding (<=1e-14; XLA may vectorise the B-axis mean
+    differently inside lax.map) — pinned in tests/test_mc.py."""
+    num_l = noises.shape[0]
+    num_c = ctrl.shape[0]
+    cells = num_l * num_c
+    h0r = jnp.real(h0) if jnp.iscomplexobj(h0) else h0
+
+    cc = _fused_chunk_cells(chunk, bootreps, cells, use_pallas)
+    padded = -(-cells // cc) * cc
+    cell_ids = jnp.arange(padded, dtype=jnp.uint32) % cells  # pad wraps
+    l_idx = cell_ids // num_c
+    c_idx = cell_ids % num_c
+    brange = jnp.arange(bootreps, dtype=jnp.uint32)
+
+    def do_chunk(args):
+        lid, cid = args                                     # (cc,)
+        gid = ((lid * c_global + cid + c_offset)[:, None] * bootreps
+               + brange[None, :]).reshape(-1)               # (cc*B,)
+        keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, gid)
+        xs = jnp.repeat(ctrl[cid], bootreps, axis=0)
+        scales = jnp.repeat(noises[lid], bootreps)
+        if use_jacobi:
+            fids = _chunk_kernel_lanes(h0r, xs, scales, keys, in_spin,
+                                       out_spin, complex_offdiag,
+                                       use_pallas)
+        else:
+            fids = jax.vmap(
+                lambda x, s, k: _element_kernel(h0r, x, s, k, in_spin,
+                                                out_spin, complex_offdiag,
+                                                use_jacobi)
+            )(xs, scales, keys)
+        return metric_tensors(fids.reshape(cc, bootreps), alpha)
+
+    out = jax.lax.map(do_chunk, (l_idx.reshape(-1, cc),
+                                 c_idx.reshape(-1, cc)))
+    return {k: v.reshape(-1)[:cells].reshape(num_l, num_c)
+            for k, v in out.items()}
+
+
+@partial(jax.jit,
+         static_argnames=("bootreps", "in_spin", "out_spin",
+                          "complex_offdiag", "chunk", "use_jacobi",
+                          "use_pallas", "alpha"))
+def mc_metric_sweep(h0: jnp.ndarray, controllers: jnp.ndarray,
+                    noises: jnp.ndarray, key: jax.Array, bootreps: int,
+                    in_spin: int, out_spin: int,
+                    complex_offdiag: bool = True,
+                    chunk: int = DEFAULT_CHUNK,
+                    use_jacobi: bool = True,
+                    use_pallas: bool = False,
+                    alpha: float = 0.05) -> Dict[str, jnp.ndarray]:
+    """Metric tensors (5 metrics x 3 DKW bands, each (L, C)) computed with
+    the metric reduction fused into the sweep — same draws as
+    ``metric_tensors(mc_fidelity_sweep(...), alpha)`` (values agree to
+    reduction rounding), without ever holding the (L, C, B) fidelity
+    tensor in HBM."""
+    return _metrics_core(h0, controllers, noises, key, bootreps, in_spin,
+                         out_spin, complex_offdiag, chunk, use_jacobi,
+                         jnp.uint32(0), controllers.shape[0], use_pallas,
+                         alpha)
+
+
 @partial(jax.jit,
          static_argnames=("bootreps", "in_spin", "out_spin",
                           "complex_offdiag", "chunk", "use_jacobi",
@@ -205,18 +299,32 @@ def metric_tensors(fids: jnp.ndarray, alpha: float = 0.05
 def characterise(h0, controllers, noises, key, bootreps: int, in_spin: int,
                  out_spin: int, *, alpha: float = 0.05,
                  complex_offdiag: bool = True, chunk: int = DEFAULT_CHUNK,
-                 use_pallas: Optional[bool] = None, mesh=None
-                 ) -> Dict[str, jnp.ndarray]:
+                 use_pallas: Optional[bool] = None, mesh=None,
+                 return_fids: bool = True) -> Dict[str, jnp.ndarray]:
     """One-call robustness characterisation: fidelity sweep + the full
     five-metric x three-band tensor dict, optionally sharded over a device
     mesh (controller axis).
 
     ``use_pallas=None`` auto-selects: the Pallas kernel on TPU backends,
-    the XLA lanes path elsewhere.
+    the XLA lanes path elsewhere.  ``return_fids=False`` takes the fused
+    sweep+reduce path (mc_metric_sweep): identical metric values, but the
+    (L, C, B) fidelity tensor is never materialised — use it whenever the
+    .mc cache isn't needed.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     controllers = jnp.asarray(controllers)
+    if not return_fids:
+        if mesh is not None:
+            from code_robchar_tpu.parallel.mesh import sharded_mc_metrics
+            return dict(sharded_mc_metrics(
+                mesh, h0, controllers, noises, key, bootreps, in_spin,
+                out_spin, complex_offdiag=complex_offdiag, chunk=chunk,
+                use_pallas=use_pallas, alpha=alpha))
+        return dict(mc_metric_sweep(
+            h0, controllers, noises, key, bootreps, in_spin, out_spin,
+            complex_offdiag=complex_offdiag, chunk=chunk,
+            use_pallas=use_pallas, alpha=alpha))
     if mesh is not None:
         from code_robchar_tpu.parallel.mesh import sharded_mc_sweep
         fids = sharded_mc_sweep(mesh, h0, controllers, noises, key,

@@ -2,8 +2,9 @@
 
 from code_robchar_tpu.parallel.mesh import (
     make_mesh,
+    sharded_mc_metrics,
     sharded_mc_sweep,
     shard_batch,
 )
 
-__all__ = ["make_mesh", "sharded_mc_sweep", "shard_batch"]
+__all__ = ["make_mesh", "sharded_mc_metrics", "sharded_mc_sweep", "shard_batch"]

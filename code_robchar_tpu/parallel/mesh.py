@@ -78,3 +78,43 @@ def sharded_mc_sweep(mesh: Mesh, h0, controllers, noises, key, bootreps: int,
                    out_specs=P(None, BATCH_AXIS, None))
     ctrl = shard_batch(mesh, controllers, axis=0)
     return jax.jit(fn)(ctrl)
+
+
+def sharded_mc_metrics(mesh: Mesh, h0, controllers, noises, key,
+                       bootreps: int, in_spin: int, out_spin: int, *,
+                       complex_offdiag: bool = True,
+                       use_pallas: bool = False,
+                       chunk: int = engine.DEFAULT_CHUNK,
+                       alpha: float = 0.05):
+    """Fused sweep+metric reduction with the controller axis sharded.
+
+    Each device runs engine._metrics_core on its controller block (global
+    lattice ids -> bit-identical draws to the unsharded fused sweep) and
+    the (L, C_local) metric tensors stay sharded along C.  The (L, C, B)
+    fidelity tensor never exists, on any device."""
+    shard_map = jax.shard_map
+
+    n_dev = mesh.devices.size
+    controllers = jnp.asarray(controllers)
+    c_global = controllers.shape[0]
+    if c_global % n_dev:
+        raise ValueError(f"controller count {c_global} must divide the mesh "
+                         f"size {n_dev} (pad with NaN controllers)")
+    c_local = c_global // n_dev
+    local_chunk = min(chunk, noises.shape[0] * c_local * bootreps)
+
+    def local_metrics(ctrl_block):
+        dev = jax.lax.axis_index(BATCH_AXIS)
+        offset = (dev * c_local).astype(jnp.uint32)
+        return engine._metrics_core(
+            h0, ctrl_block, noises, key, bootreps, in_spin, out_spin,
+            complex_offdiag, local_chunk, True, offset, c_global,
+            use_pallas, alpha)
+
+    names = [k for base in engine.metric_registry
+             for k in (base, base + " upper", base + " lower")]
+    fn = shard_map(local_metrics, mesh=mesh,
+                   in_specs=P(BATCH_AXIS, None),
+                   out_specs={k: P(None, BATCH_AXIS) for k in names})
+    ctrl = shard_batch(mesh, controllers, axis=0)
+    return jax.jit(fn)(ctrl)

@@ -212,3 +212,48 @@ def test_drivers_usage_exit():
                        capture_output=True, text=True)
     assert r.returncode == 2
     assert "usage" in (r.stdout + r.stderr)
+
+
+def test_fused_metric_sweep_matches_unfused(rng):
+    """mc_metric_sweep (fused reduce, no (L,C,B) tensor) must equal
+    metric_tensors(mc_fidelity_sweep(...)) bit-for-bit: same keys, same
+    draws, same reductions (engine._metrics_core docstring contract)."""
+    from code_robchar_tpu.mc import mc_metric_sweep
+    n, c, b = 4, 6, 5
+    h0 = chain.xx_hamiltonian(n)
+    xs = jnp.asarray(np.column_stack([rng.uniform(-5, 5, (c, n)),
+                                      rng.uniform(1, 10, c)]))
+    noises = jnp.asarray([0.0, 0.05, 0.1])
+    key = jax.random.key(3)
+    for use_jacobi in (True, False):
+        fids = mc_fidelity_sweep(h0, xs, noises, key, b, 0, 2, chunk=16,
+                                 use_jacobi=use_jacobi)
+        want = metric_tensors(fids, alpha=0.05)
+        got = mc_metric_sweep(h0, xs, noises, key, b, 0, 2, chunk=16,
+                              use_jacobi=use_jacobi, alpha=0.05)
+        assert set(got) == set(want)
+        # draws/fidelities are bitwise identical between paths; the metric
+        # reductions may differ by reassociation rounding (XLA compiles the
+        # B-axis mean differently inside lax.map), so pin at 1e-14.
+        for k in want:
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(want[k]),
+                                       atol=1e-14, rtol=1e-12, err_msg=k)
+
+
+def test_fused_metric_sweep_chunk_invariance(rng):
+    """Chunking must not change fused results (cell padding wraps)."""
+    from code_robchar_tpu.mc import mc_metric_sweep
+    n, c, b = 4, 5, 3
+    h0 = chain.xx_hamiltonian(n)
+    xs = jnp.asarray(np.column_stack([rng.uniform(-5, 5, (c, n)),
+                                      rng.uniform(1, 10, c)]))
+    noises = jnp.asarray([0.0, 0.08])
+    key = jax.random.key(11)
+    ref = mc_metric_sweep(h0, xs, noises, key, b, 0, 2, chunk=3 * 5 * 2)
+    for chunk in (3, 7, 64, 8192):
+        got = mc_metric_sweep(h0, xs, noises, key, b, 0, 2, chunk=chunk)
+        for k in ref:
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(ref[k]),
+                                       atol=1e-14, rtol=1e-12, err_msg=k)

@@ -39,3 +39,24 @@ def test_sharded_sweep_rejects_indivisible_batch(rng):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_sharded_fused_metrics_match_unsharded(rng):
+    from code_robchar_tpu.mc import mc_metric_sweep
+    from code_robchar_tpu.parallel import sharded_mc_metrics
+
+    n, c, b = 4, 16, 3
+    h0 = chain.xx_hamiltonian(n)
+    xs = jnp.asarray(np.column_stack([rng.uniform(-5, 5, (c, n)),
+                                      rng.uniform(1, 10, c)]))
+    noises = jnp.asarray([0.0, 0.05])
+    key = jax.random.key(3)
+
+    ref = mc_metric_sweep(h0, xs, noises, key, b, 0, 2, chunk=32)
+    out = sharded_mc_metrics(make_mesh(8), h0, xs, noises, key, b, 0, 2,
+                             chunk=32)
+    assert set(out) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]),
+                                   np.asarray(ref[k]),
+                                   atol=1e-14, rtol=1e-12, err_msg=k)
