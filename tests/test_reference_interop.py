@@ -75,3 +75,69 @@ def test_fig1_reads_real_legacy_records():
     assert np.nanmax(fl[0]) > 0.9
     xs, ca, cb = ex.joint_ecdfs(fl[0, 0], fp[0, 0])
     assert (np.diff(ca) >= 0).all() and ca[-1] <= 1.0
+
+
+MC_FILES = [
+    # (mc file, .le store, N, in, out, training_noise key)
+    ("ppo_spin_4_0-2_c_1000.le_tn0.0_br_1_nlvl[0.   0.01 0.02 0.03 0.04 "
+     "0.05 0.06 0.07 0.08 0.09 0.1 ].mc",
+     "ppo_spin_4_0-2_c_1000.le", 4, 0, 2, "0.0"),
+    ("ppo_spin_5_0-2_c_1000.le_tn0.05_br_1_nlvl[0.   0.01 0.02 0.03 0.04 "
+     "0.05 0.06 0.07 0.08 0.09 0.1 ].mc",
+     "ppo_spin_5_0-2_c_1000.le", 5, 0, 2, "0.05"),
+    ("ppo_spin_6_0-5_c_1000.le_tn0.01_br_1_nlvl[0.   0.01 0.02 0.03 0.04 "
+     "0.05 0.06 0.07 0.08 0.09 0.1 ].mc",
+     "ppo_spin_6_0-5_c_1000.le", 6, 0, 5, "0.01"),
+]
+
+
+@pytest.mark.parametrize("mcname,lename,nspin,inspin,outspin,tn",
+                         MC_FILES, ids=["N4_0-2", "N5_0-2", "N6_0-5"])
+def test_shipped_mc_tensor_numeric_parity(mcname, lename, nspin, inspin,
+                                          outspin, tn):
+    """Untapped oracle (VERDICT r1 missing #2): the reference SHIPS the
+    br_1 fidelity tensors its own scipy pipeline produced
+    (mcsim.py:422-460).  The sigma_sim=0 slice is noise-free and fully
+    deterministic — the rng draws are scale-0 Gaussians, exact zeros
+    (noise_model.py:117-146) — so this framework must reproduce it to
+    1e-10 for every controller of every algo.  The sigma_sim>0 slices are
+    RNG-dependent; those are compared distributionally (KS, pooled over
+    controllers, B=1 draw each)."""
+    import json
+    import jax
+    import jax.numpy as jnp
+    import scipy.stats
+
+    from code_robchar_tpu.mc import mc_fidelity_sweep
+    from code_robchar_tpu.ops import chain
+    from code_robchar_tpu.ops.propagate import fidelity_from_controller
+
+    base = "/root/reference/experiments/pipeline_nmplus2/"
+    if not (os.path.exists(base + mcname) and os.path.exists(base + lename)):
+        pytest.skip("shipped tensor not mounted")
+    shipped = {a: np.asarray(t, dtype=float)
+               for a, t in json.load(open(base + mcname)).items()}
+    store = json.load(open(base + lename))
+    h0 = chain.xx_hamiltonian(nspin)
+    noises = np.linspace(0, 0.1, 11)
+
+    fid_v = jax.jit(jax.vmap(
+        lambda x: fidelity_from_controller(h0, x, inspin, outspin)))
+
+    for algo, tensor in shipped.items():
+        key = str(nspin) if algo == "lbfgs" else tn
+        xs = jnp.asarray(store[algo][key]["controller"], dtype=jnp.float64)
+        assert tensor.shape == (11, 1000, 1)
+        # --- sigma_sim = 0: deterministic, exact parity ---------------
+        ours = np.asarray(fid_v(xs))
+        np.testing.assert_allclose(ours, tensor[0, :, 0], atol=1e-10,
+                                   rtol=0, err_msg=f"{algo} sigma=0")
+        # --- sigma_sim > 0: distributional parity (pooled KS) ---------
+        sweep = np.asarray(mc_fidelity_sweep(
+            h0, xs, jnp.asarray(noises), jax.random.key(42), 1,
+            inspin, outspin, complex_offdiag=True, chunk=4096))
+        for j in (5, 10):  # sigma = 0.05, 0.1
+            stat, pval = scipy.stats.ks_2samp(tensor[j, :, 0],
+                                              sweep[j, :, 0])
+            assert pval > 1e-3, (f"{algo} sigma={noises[j]}: KS stat "
+                                 f"{stat:.4f} p={pval:.2e}")
