@@ -35,6 +35,11 @@ class BatchResult(NamedTuple):
     true_fid: jnp.ndarray   # (K,) noiseless fidelity
     nfev: jnp.ndarray       # (K,) objective calls (incl. multipliers)
     nit: jnp.ndarray        # (K,) iterations
+    #: optional dense top-c candidates collected INSIDE the device program
+    #: (per-iteration incumbents, qnewton.py:604-616/743-757 offer every
+    #: iteration — segment-final x alone under-fills the .le store)
+    cand_x: Optional[jnp.ndarray] = None     # (K, kc, d)
+    cand_fid: Optional[jnp.ndarray] = None   # (K, kc)
 
 
 class ControlOptimizer:
@@ -337,6 +342,10 @@ class ControlOptimizer:
             else:
                 if self.landscape_exploration:
                     top.offer_many(fids, xs)
+                    if res.cand_fid is not None:
+                        cf = np.asarray(res.cand_fid).reshape(-1)
+                        cx = np.asarray(res.cand_x).reshape(cf.size, -1)
+                        top.offer_many(cf, cx)
                 i = int(fids.argmax())
                 prev = rr.record["best_fid"]
                 crit = (fids[i] >= self.fid_threshold if prev is None

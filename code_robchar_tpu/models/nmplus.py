@@ -40,10 +40,14 @@ class _NMState(NamedTuple):
     nfev: jnp.ndarray
     nit: jnp.ndarray
     key: jax.Array
+    improv: jnp.ndarray    # last iteration's best-value improvement
+    tries: jnp.ndarray     # stagnant-iteration counter (nmplus.py:162-170)
+    prev_best: jnp.ndarray
 
 
 def _nm_while(simplex0, key, infid, lower, upper, maxfev, xatol=1e-4,
-              fatol=1e-4):
+              fatol=1e-4, stagnation_restart: bool = False,
+              improv_thres: float = 1e-6, max_tries: int = 30):
     d = simplex0.shape[1]
 
     def clip(x):
@@ -55,8 +59,12 @@ def _nm_while(simplex0, key, infid, lower, upper, maxfev, xatol=1e-4,
 
     k0, key = jax.random.split(key)
     f0, c0 = jax.vmap(eval_at)(simplex0, jax.random.split(k0, d + 1))
+    dt = f0.dtype
     st = _NMState(simplex0, f0, jnp.sum(c0).astype(jnp.int32),
-                  jnp.asarray(0, jnp.int32), key)
+                  jnp.asarray(0, jnp.int32), key,
+                  jnp.asarray(0.0, dt),          # improv starts 0 — the
+                  jnp.asarray(0, jnp.int32),     # first iteration counts
+                  jnp.asarray(jnp.inf, dt))      # as stagnant (ref quirk)
 
     def cond(st):
         spread_f = jnp.max(jnp.abs(st.fvals - st.fvals[0]))
@@ -64,6 +72,37 @@ def _nm_while(simplex0, key, infid, lower, upper, maxfev, xatol=1e-4,
         return (st.nfev < maxfev) & ((spread_f > fatol) | (spread_x > xatol))
 
     def body(st):
+        improv, tries, prev_best = st.improv, st.tries, st.prev_best
+        nfev0, key0 = st.nfev, st.key
+        simplex_in, fvals_in = st.simplex, st.fvals
+        if stagnation_restart:
+            # in-house accelerated variant (nmplus.py:162-170): after
+            # max_tries stagnant iterations, re-initialise the simplex.
+            # The counter only ever grows while stagnant and resets only
+            # on restart — improvement does NOT reset it (ref quirk).
+            stagnant = improv < improv_thres
+            tries = jnp.where(stagnant & (tries < max_tries),
+                              tries + 1, tries)
+
+            def restart(op):
+                _, _, nfev, key, _ = op
+                key, kx, ks, ke = jax.random.split(key, 4)
+                x0 = lower + (upper - lower) * jax.random.uniform(
+                    kx, (d,), dtype=simplex_in.dtype)
+                s = regular_simplex(x0, lower, upper, ks)
+                f, c = jax.vmap(eval_at)(s, jax.random.split(ke, d + 1))
+                return (s, f, (nfev + jnp.sum(c)).astype(jnp.int32), key,
+                        jnp.asarray(0, jnp.int32))
+
+            def keep(op):
+                return op
+
+            (simplex_in, fvals_in, nfev0, key0, tries) = jax.lax.cond(
+                stagnant & (tries >= max_tries), restart, keep,
+                (simplex_in, fvals_in, nfev0, key0, tries))
+        st = st._replace(simplex=simplex_in, fvals=fvals_in, nfev=nfev0,
+                         key=key0)
+
         order = jnp.argsort(st.fvals)
         simplex = st.simplex[order]
         fvals = st.fvals[order]
@@ -124,7 +163,10 @@ def _nm_while(simplex0, key, infid, lower, upper, maxfev, xatol=1e-4,
                 + jnp.where(fr < f_best, per_eval, 0)
                 + jnp.where(~use_expand & ~use_reflect, per_eval, 0)
                 + jnp.where(shrink, per_eval * d_count, 0)).astype(jnp.int32)
-        return _NMState(simplex, fvals, nfev, st.nit + 1, key)
+        best = jnp.min(fvals)
+        improv = jnp.where(jnp.isinf(prev_best), best, prev_best - best)
+        return _NMState(simplex, fvals, nfev, st.nit + 1, key,
+                        improv, tries, best)
 
     st = jax.lax.while_loop(cond, body, st)
     order = jnp.argsort(st.fvals)
@@ -255,5 +297,6 @@ class NMPlus(ControlOptimizer):
                 self._upper, key)
         x, f, nfev, nit = _nm_while(jnp.asarray(simplex), key, infid,
                                     self._lower, self._upper,
-                                    maxfev=iterations)
+                                    maxfev=iterations,
+                                    stagnation_restart=True)
         return float(f), np.asarray(x)
