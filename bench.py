@@ -105,6 +105,50 @@ def main():
 
     rate = total / elapsed
     ref_rate = reference_cpu_rate(n)
+
+    # ---- PPO training throughput (512 concurrent controller searches) --
+    # steady-state epochs: one warm (compile) + one throwaway (the relay
+    # charges a one-time stall on the second distinct execution), then
+    # timed evolving-state epochs.
+    from code_robchar_tpu.models.ppo import PPO_en
+    agents = 512
+    ppo = PPO_en(n, 0, 6, testing=True, fid_threshold=0.0, ham_noisy=True,
+                 run_until_told_to_stop=True,
+                 run_until_completion_its=10**12,
+                 landscape_exploration=True, save_topc=100,
+                 num_agents=agents, rollout_sweeps=4)
+    epoch_fn = ppo._build_epoch(500, 0.2, 3e-3, 1e-3, 1000, 200, 200, 0.01)
+    st = jax.vmap(ppo._init_agent)(
+        jax.random.split(jax.random.key(0), agents))
+    for _ in range(2):  # compile + stall absorber
+        st, out = epoch_fn(st)
+        float(jnp.sum(out.rewards))
+    t0 = time.perf_counter()
+    n_ep = 3
+    for _ in range(n_ep):
+        st, out = epoch_fn(st)
+        float(jnp.sum(out.rewards))
+    ppo_rate = agents * 500 * n_ep / (time.perf_counter() - t0)
+
+    # ---- optimizer-zoo restart throughput (batched L-BFGS) -------------
+    from code_robchar_tpu.models import LBFGS
+    opt = LBFGS(n, 0, 6, testing=True, fid_threshold=2.0, repeats=10**9,
+                run_until_told_to_stop=True, run_until_completion_its=10**12,
+                landscape_exploration=True, save_topc=64)
+    k_rest = 256
+    x0s = jnp.asarray(opt.init_points(k_rest))
+    keys = jax.random.split(jax.random.key(5), k_rest)
+    res = opt._run_batch(x0s, keys)
+    float(jnp.sum(res.fid))
+    x0s2 = jnp.asarray(opt.init_points(k_rest))
+    res = opt._run_batch(x0s2, keys)     # stall absorber
+    float(jnp.sum(res.fid))
+    t0 = time.perf_counter()
+    x0s3 = jnp.asarray(opt.init_points(k_rest))
+    res = opt._run_batch(x0s3, jax.random.split(jax.random.key(7), k_rest))
+    float(jnp.sum(res.fid))
+    zoo_rate = k_rest / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "MC robustness characterisation, N=7, 10k controllers "
                   "x 11 noise levels x 100 bootreps (Hamiltonians/sec, "
@@ -115,6 +159,9 @@ def main():
         "wall_seconds": round(elapsed, 2),
         "reference_cpu_rate": round(ref_rate, 1),
         "rim_checksum": round(checksum, 3),
+        "ppo_env_steps_per_s": round(ppo_rate, 1),
+        "ppo_agents": agents,
+        "zoo_lbfgs_restarts_per_s": round(zoo_rate, 2),
         "device": str(jax.devices()[0]),
     }))
 

@@ -70,7 +70,10 @@ def _normalise_time(t, maxtime):
 
 
 def _wrap_action(a, bmax):
-    over = jnp.any(jnp.abs(a) > bmax)
+    # the over-bound check is per ACTION VECTOR (RLreinforce...:253-257:
+    # one |action|>bmax entry wraps the whole vector); batched inputs
+    # (..., n) wrap per trailing vector
+    over = jnp.any(jnp.abs(a) > bmax, axis=-1, keepdims=True)
     wrapped = a % (jnp.sign(a) * bmax + jnp.where(a == 0, 1.0, 0.0))
     return jnp.where(over, wrapped, a)
 

@@ -28,8 +28,7 @@ import jax.numpy as jnp
 import optax
 
 from code_robchar_tpu.models import actor_critic as ac
-from code_robchar_tpu.models.env import EnvConfig, EnvState, env_reset, \
-    env_step, true_fidelity_batch
+from code_robchar_tpu.models.env import EnvConfig, EnvState, env_reset
 from code_robchar_tpu.utils.record import RunRecord, TopControllers
 from code_robchar_tpu.utils.timeout import Deadline
 
@@ -91,7 +90,8 @@ class PPO_en:
                  records_update_rate=None, num_agents: int = 1,
                  seed: Optional[int] = None,
                  use_wass_value_targets: bool = False,
-                 wass_bootstrap_reps: int = 30):
+                 wass_bootstrap_reps: int = 30,
+                 rollout_sweeps: Optional[int] = None):
         self.nspin = nspin
         self.In = in_spin
         self.Out = out_spin
@@ -122,6 +122,10 @@ class PPO_en:
         # surface, so here it is an explicit opt-in flag.
         self.use_wass_value_targets = use_wass_value_targets
         self.wass_bootstrap_reps = wass_bootstrap_reps
+        # reduced-sweep Jacobi for the in-rollout reward eigh (None =
+        # dtype-accurate default; RL reward shaping tolerates ~1e-3, so
+        # 4 sweeps at f32 is a sanctioned throughput mode)
+        self.rollout_sweeps = rollout_sweeps
 
         # the Experiment driver mutates .env.noise post-construction
         # (noise_analysis.py:343-344), so the env wrapper is the config home
@@ -168,12 +172,32 @@ class PPO_en:
 
     def _build_epoch(self, steps_per_epoch, clip_ratio, pi_lr, vf_lr,
                      max_ep_len, train_pi_iters, train_v_iters, target_kl):
+        """Compile one PPO epoch for ALL agents at once.
+
+        The rollout keeps the agent batch in the LANES dimension of the
+        env physics — perturbed Hamiltonians are assembled directly as
+        (n, n, A) tiles and diagonalised by the real-symmetric lanes
+        Jacobi (ops/realform.transfer_amp_sym_lanes), the same layout
+        that makes the MC sweep fast.  The scan body contains exactly ONE
+        policy forward and ONE lanes eigh; bootstrap values and true
+        fidelities are recomputed for the whole trajectory in single
+        batched calls after the scan (VERDICT r1 weak #5 / ROADMAP #1a).
+        """
+        from code_robchar_tpu.ops import realform
+        from code_robchar_tpu.models.env import (_normalise_time,
+                                                 _wrap_action)
+
         cfg = self._cfg()
-        h0 = self.env.sys
+        h0 = jnp.real(self.env.sys)
         fixed = self.env.randH if self.use_fixed_ham else None
+        fixed_r = (jnp.real(fixed) if fixed is not None and
+                   jnp.iscomplexobj(fixed) else fixed)
         gamma, lam = self.gamma, self.lam
-        d = self.nspin + 1
+        n = self.nspin
+        d = n + 1
         mul = self.train_size if self.use_fixed_ham else 1
+        sweeps = self.rollout_sweeps
+        dt = h0.dtype
 
         model = ac.ActorCritic(act_dim=d)
         pi_tx = optax.adam(pi_lr)
@@ -182,37 +206,154 @@ class PPO_en:
         def apply(params, obs):
             return model.apply(params, obs)
 
+        # One fused Pallas kernel per physics call on TPU backends (the
+        # XLA lanes path costs ~10^2 tiny-fusion launches per rotation
+        # chain; launch overhead dominates a 500-step sequential scan)
+        use_pallas = jax.default_backend() not in ("cpu",)
+        eff_sweeps = (sweeps if sweeps is not None
+                      else realform._sweeps_for(dt, n))
+
+        def sym_amp(ar, t):
+            """(n, n, B), (B,) -> (phr, phi); Pallas on TPU when the
+            batch tiles cleanly, XLA lanes otherwise."""
+            b = ar.shape[-1]
+            if use_pallas:
+                from code_robchar_tpu.ops.pallas_jacobi import \
+                    transfer_amp_sym_pallas
+                tile = min(1024, b)
+                if b % tile == 0:
+                    return transfer_amp_sym_pallas(
+                        ar, t, cfg.in_spin, cfg.out_spin, eff_sweeps, tile)
+            return realform.transfer_amp_sym_lanes(
+                ar, t, cfg.in_spin, cfg.out_spin, eff_sweeps)
+
+        def sym_fid(ar, t):
+            phr, phi = sym_amp(ar, t)
+            return phr * phr + phi * phi
+
+        from code_robchar_tpu.ops import noise as _noise_mod
+
+        def noise_ops_shot(k, f):
+            return _noise_mod.shot_noise_fidelity(k, f, cfg.draws)
+
+        def noise_ops_adaptive(k, f):
+            return _noise_mod.adaptive_shot_fidelity(k, f, cfg.draws,
+                                                     cfg.adp_tol)
+
+        def reward_lanes(action, t, zdiag, znn):
+            """(A,) training-objective fidelities with agents in lanes.
+            zdiag (A, n) / znn (A, n-1) are this step's pre-scaled
+            structured-noise draws (real variant, qnewton.py:366-379),
+            precomputed for the whole epoch OUTSIDE the scan — a
+            sequential rollout pays RNG launch overhead 500x otherwise."""
+            a_cnt = action.shape[0]
+            ar = jnp.broadcast_to(h0[:, :, None], (n, n, a_cnt)).astype(dt)
+            add_diag = action.T.astype(dt)             # (n, A)
+            if cfg.ham_noisy:
+                add_diag = add_diag + zdiag.T
+            for i in range(n):
+                ar = ar.at[i, i].add(add_diag[i])
+            if cfg.ham_noisy:
+                for i in range(1, n):
+                    ar = ar.at[i, i - 1].add(znn[:, i - 1])
+                    ar = ar.at[i - 1, i].add(znn[:, i - 1])
+            return sym_fid(ar, t.astype(dt))
+
+        def reward_fixed_lanes(action, t):
+            """Averaged-PROPAGATOR fixed-ham reward (RLreinforce...:153-162)
+            — mean transfer amplitude over the ensemble, agents x ensemble
+            flattened into lanes."""
+            a_cnt = action.shape[0]
+            r_cnt = fixed_r.shape[0]
+            base = jnp.transpose(fixed_r, (1, 2, 0)).astype(dt)  # (n,n,R)
+            ar = jnp.broadcast_to(base[:, :, None, :],
+                                  (n, n, a_cnt, r_cnt))
+            for i in range(n):
+                ar = ar.at[i, i].add(action[:, i].astype(dt)[:, None])
+            ar = ar.reshape(n, n, a_cnt * r_cnt)
+            tt = jnp.repeat(t.astype(dt), r_cnt)
+            phr, phi = sym_amp(ar, tt)
+            phr = phr.reshape(a_cnt, r_cnt).mean(-1)
+            phi = phi.reshape(a_cnt, r_cnt).mean(-1)
+            return phr * phr + phi * phi
+
         def rollout(st: AgentState):
-            def step(carry, _):
-                env_st, obs, ep_len, key = carry
-                key, ka, ke = jax.random.split(key, 3)
-                a, v, logp = ac.policy_step(st.params, apply, obs, ka)
-                # true fidelities are recomputed for the whole trajectory
-                # in one batched call after the scan — keeps the serial
-                # eigh depth of the rollout at one per step
-                env_st2, obs2, r, true_fid, done, fc = env_step(
-                    cfg, h0, env_st, a[:-1], a[-1], ke, fixed_hams=fixed,
-                    with_true_fid=False)
+            a_cnt = st.obs.shape[0]
+            t_len = steps_per_epoch
+
+            # ALL epoch randomness precomputed in three big batched draws
+            # (policy-noise eps, structured ham noise, shot keys) and fed
+            # to the scan as xs — the scan body contains ZERO RNG ops.
+            key0 = st.key[0]
+            k_eps, k_hn, k_shot, key_out = jax.random.split(key0, 4)
+            eps_all = jax.random.normal(k_eps, (t_len, a_cnt, d), dt)
+            if cfg.ham_noisy and fixed_r is None:
+                zdiag_all = jax.random.normal(
+                    k_hn, (t_len, a_cnt, n), dt) * cfg.noise
+                znn_all = jax.random.normal(
+                    jax.random.fold_in(k_hn, 1),
+                    (t_len, a_cnt, n - 1), dt) * cfg.noise
+            else:
+                zdiag_all = jnp.zeros((t_len, 1, 1), dt)
+                znn_all = jnp.zeros((t_len, 1, 1), dt)
+            if cfg.fid_noisy:
+                ks_all = jax.random.split(
+                    k_shot, t_len * a_cnt).reshape(t_len, a_cnt)
+            else:
+                ks_all = jnp.zeros((t_len, 1), jnp.int32)
+
+            def step(carry, xs):
+                action, tstep, ep_len = carry
+                eps, zdiag, znn, ks = xs
+
+                obs = jnp.concatenate([action, tstep[:, None]], axis=1)
+                mu, log_std, v = jax.vmap(apply)(st.params, obs)
+                a = mu + jnp.exp(log_std) * eps
+                logp = ac.gaussian_logp(mu, log_std, a)
+
+                new_action = _wrap_action(action + a[:, :n], cfg.bmax)
+                raw_t = tstep + a[:, n]
+                # the PPO driver pins final_time to the accumulated time
+                # (ppo.py:359-361); done fires when normalisation shrinks
+                # the time below it (SURVEY.md quirk 9)
+                t = _normalise_time(raw_t, cfg.maxtime)
+                done = t > raw_t
+
+                if fixed_r is not None:
+                    fid = reward_fixed_lanes(new_action, t)
+                else:
+                    fid = reward_lanes(new_action, t, zdiag, znn)
+                fcalls = jnp.full((a_cnt,), 1, jnp.int32)
+                reward = fid
+                if cfg.fid_noisy:
+                    if cfg.adaptive:
+                        reward, extra = jax.vmap(
+                            lambda k, f: noise_ops_adaptive(k, f))(ks, fid)
+                        fcalls = (extra + cfg.draws).astype(jnp.int32)
+                    else:
+                        reward = jax.vmap(
+                            lambda k, f: noise_ops_shot(k, f))(ks, fid)
+
+                obs2 = jnp.concatenate([new_action, t[:, None]], axis=1)
                 ep_len = ep_len + 1
                 ttimeout = ep_len == max_ep_len
                 terminal = done | ttimeout
-                # bootstrap value for a cut-off trajectory (ppo.py:409-417)
-                _, vboot, _ = ac.policy_step(st.params, apply, obs2, ka)
-                boot = jnp.where(done & ~ttimeout, 0.0, vboot)
-                env_reset_st, obs_reset = env_reset(cfg)
-                env_next = jax.tree.map(
-                    lambda a_, b_: jnp.where(terminal, a_, b_),
-                    env_reset_st, env_st2)
-                obs_next = jnp.where(terminal, obs_reset, obs2)
+                next_action = jnp.where(terminal[:, None], 0.0, new_action)
+                next_t = jnp.where(terminal, 0.0, t)
                 ep_len = jnp.where(terminal, 0, ep_len)
-                out = (obs, a, r, v, logp, obs2, true_fid, terminal, boot,
-                       fc)
-                return (env_next, obs_next, ep_len, key), out
+                out = (obs, a, reward, v, logp, obs2, done, ttimeout, fcalls)
+                return (next_action, next_t, ep_len), out
 
-            (env_st, obs, ep_len, key), traj = jax.lax.scan(
-                step, (st.env, st.obs, st.ep_len, st.key), None,
+            carry0 = (st.env.action, st.env.timestep, st.ep_len)
+            (action, tstep, ep_len), traj = jax.lax.scan(
+                step, carry0, (eps_all, zdiag_all, znn_all, ks_all),
                 length=steps_per_epoch)
-            return (env_st, obs, ep_len, key), traj
+            env_st = EnvState(action=action, timestep=tstep,
+                              final_time=tstep)
+            obs_f = jnp.concatenate([action, tstep[:, None]], axis=1)
+            # refresh the per-agent key leaf so the state layout survives
+            keys_out = jax.random.split(key_out, a_cnt)
+            return (env_st, obs_f, ep_len, keys_out), traj
 
         def update(params, pi_opt, vf_opt, data):
             obs, act, adv, logp_old, ret = data
@@ -268,33 +409,71 @@ class PPO_en:
             wass = objectives.make_wass_cost(spec, self.wass_bootstrap_reps)
 
         def epoch(st: AgentState):
+            """st leaves carry a leading agent axis A (>= 1)."""
             (env_st, obs_f, ep_len, key), traj = rollout(st)
-            (obs, act, rew, val, logp, obs2, true_fid, term, boot,
-             fc) = traj
-            true_fid = true_fidelity_batch(cfg, h0, obs2)
+            (obs, act, rew, val, logp, obs2, done, ttimeout, fc) = traj
+            # traj leaves are (T, A, ...)
+            t_len, a_cnt = rew.shape
+
+            # true fidelities for the WHOLE trajectory in one lanes batch
+            stores_flat = obs2.reshape(t_len * a_cnt, d)
+            hs = jnp.broadcast_to(h0[:, :, None],
+                                  (n, n, t_len * a_cnt)).astype(dt)
+            for i in range(n):
+                hs = hs.at[i, i].add(stores_flat[:, i].astype(dt))
+            true_fid = sym_fid(
+                hs, stores_flat[:, n].astype(dt)).reshape(t_len, a_cnt)
+
+            # bootstrap values for the whole trajectory in one batched
+            # forward per agent (ppo.py:409-417); zero when truly done
+            vboot = jax.vmap(lambda p, o: apply(p, o)[2],
+                             in_axes=(0, 1), out_axes=1)(st.params, obs2)
+            boot = jnp.where(done & ~ttimeout, 0.0, vboot)
+            term = done | ttimeout
             # epoch end always closes the open trajectory (ppo.py:409-421)
             boundaries = term.at[-1].set(True)
-            advs, rets = gae_and_returns(rew, val, boundaries, boot, gamma,
-                                         lam)
+            advs, rets = jax.vmap(
+                lambda r, v, b, bo: gae_and_returns(r, v, b, bo, gamma,
+                                                    lam),
+                in_axes=1, out_axes=1)(rew, val, boundaries, boot)
             if self.use_wass_value_targets:
                 # value targets become -W1(F(obs), delta(1)) per visited
                 # controller (ppo.py:280-283), one vmapped batch
-                kw = jax.random.split(jax.random.fold_in(key, 11),
-                                      obs.shape[0])
-                rets = -jax.vmap(wass)(obs, kw)
-            advs = (advs - advs.mean()) / jnp.maximum(advs.std(), 1e-8)
-            params, pi_opt, vf_opt, kl, pi_iters = update(
+                kw = jax.random.split(jax.random.fold_in(key[0], 11),
+                                      t_len * a_cnt)
+                rets = -jax.vmap(wass)(
+                    obs.reshape(t_len * a_cnt, d), kw
+                ).reshape(t_len, a_cnt)
+            mean_a = advs.mean(axis=0, keepdims=True)
+            std_a = advs.std(axis=0, keepdims=True)
+            advs = (advs - mean_a) / jnp.maximum(std_a, 1e-8)
+
+            # per-agent updates: move the agent axis in front
+            def to_af(x):
+                return jnp.moveaxis(x, 0, 1)
+            params, pi_opt, vf_opt, kl, pi_iters = jax.vmap(update)(
                 st.params, st.pi_opt, st.vf_opt,
-                (obs, act, advs, logp, rets))
+                (to_af(obs), to_af(act), to_af(advs), to_af(logp),
+                 to_af(rets)))
             st = AgentState(params=params, pi_opt=pi_opt, vf_opt=vf_opt,
                             env=env_st, obs=obs_f, ep_len=ep_len, key=key)
-            out = EpochOut(rewards=rew, true_fids=true_fid, stores=obs2,
-                           fcalls=fc * mul, kl=kl, pi_iters=pi_iters)
+            out = EpochOut(rewards=to_af(rew), true_fids=to_af(true_fid),
+                           stores=to_af(obs2), fcalls=to_af(fc) * mul,
+                           kl=kl, pi_iters=pi_iters)
             return st, out
 
+        epoch_jit = jax.jit(epoch)
+
         if self.num_agents == 1:
-            return jax.jit(epoch)
-        return jax.jit(jax.vmap(epoch))
+            # unbatched AgentState in, (T,)-shaped EpochOut leaves out
+            def single(st: AgentState):
+                stb = jax.tree.map(lambda x: jnp.asarray(x)[None], st)
+                stb2, out = epoch_jit(stb)
+                st2 = jax.tree.map(lambda x: x[0], stb2)
+                out = jax.tree.map(lambda x: x[0], out)
+                return st2, out
+            return single
+        return epoch_jit
 
     def _init_agent(self, key) -> AgentState:
         model = ac.ActorCritic(act_dim=self.nspin + 1)

@@ -167,9 +167,125 @@ def make_fidelity_kernel(n: int, in_spin: int, out_spin: int,
     return run
 
 
+def make_sym_amp_kernel(n: int, in_spin: int, out_spin: int,
+                        sweeps: int, tile: int = DEFAULT_TILE,
+                        interpret: bool = False):
+    """REAL symmetric variant: amp = kernel(a, t): a (n*n, B), t (1, B)
+    -> (2, B) transfer amplitude (phr, phi).
+
+    ~1/3 the arithmetic of the Hermitian kernel; this is the RL
+    environment's per-step physics (training noise is real,
+    RLreinforce...:122-133) fused into ONE kernel launch — the rollout
+    scan otherwise pays ~10^2 tiny-fusion launches per step.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    eps = 1e-7
+
+    def kernel(a_in, t_in, amp_out, a, v):
+        a[:, :] = a_in[:, :]
+        b = t_in.shape[-1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (2 * n, b), 0)
+        sel = (rows == (0 * n + in_spin)) | (rows == (1 * n + out_spin))
+        v[:, :] = jnp.where(sel, 1.0, 0.0).astype(a_in.dtype)
+
+        for _ in range(sweeps):
+            for p in range(n - 1):
+                for q in range(p + 1, n):
+                    app = a[p * n + p, :]
+                    aqq = a[q * n + q, :]
+                    apq = a[p * n + q, :]
+                    r = jnp.abs(apq)
+                    active = r > eps * (jnp.abs(app) + jnp.abs(aqq) + r)
+                    safe = jnp.where(active, apq, 1.0)
+                    tau = (aqq - app) / (2.0 * safe)
+                    t = jnp.sign(tau) / (jnp.abs(tau) +
+                                         jnp.sqrt(1.0 + tau * tau))
+                    t = jnp.where(tau == 0.0, 1.0, t)
+                    c = 1.0 / jnp.sqrt(1.0 + t * t)
+                    s = t * c
+                    c = jnp.where(active, c, 1.0)
+                    s = jnp.where(active, s, 0.0)
+
+                    for i in range(n):       # columns p, q
+                        cp = a[i * n + p, :]
+                        cq = a[i * n + q, :]
+                        a[i * n + p, :] = c * cp - s * cq
+                        a[i * n + q, :] = s * cp + c * cq
+                    rp = a[p * n:(p + 1) * n, :]   # rows p, q
+                    rq = a[q * n:(q + 1) * n, :]
+                    a[p * n:(p + 1) * n, :] = c * rp - s * rq
+                    a[q * n:(q + 1) * n, :] = s * rp + c * rq
+                    for rr in range(2):      # carried V rows
+                        wp = v[rr * n + p, :]
+                        wq = v[rr * n + q, :]
+                        v[rr * n + p, :] = c * wp - s * wq
+                        v[rr * n + q, :] = s * wp + c * wq
+
+        t = t_in[0, :]
+        phr = jnp.zeros_like(t)
+        phi = jnp.zeros_like(t)
+        for k in range(n):
+            w = v[0 * n + k, :] * v[1 * n + k, :]
+            ang = a[k * n + k, :] * t
+            phr = phr + w * jnp.cos(ang)
+            phi = phi - w * jnp.sin(ang)
+        amp_out[0, :] = phr
+        amp_out[1, :] = phi
+
+    nn = n * n
+
+    @jax.jit
+    def run(a, t):
+        b = a.shape[-1]
+        grid = (b // tile,)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((nn, tile), lambda i: (0, i)),
+                pl.BlockSpec((1, tile), lambda i: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((2, tile), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((2, b), a.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((nn, tile), a.dtype),
+                pltpu.VMEM((2 * n, tile), a.dtype),
+            ],
+            interpret=interpret,
+        )(a, t.reshape(1, b))
+
+    return run
+
+
 from functools import lru_cache
 
 _kernel_cache = lru_cache(maxsize=64)(make_fidelity_kernel)
+_sym_kernel_cache = lru_cache(maxsize=64)(make_sym_amp_kernel)
+
+
+def transfer_amp_sym_pallas(a: jnp.ndarray, t: jnp.ndarray, in_spin: int,
+                            out_spin: int, sweeps: int = 6,
+                            tile: int = DEFAULT_TILE,
+                            interpret: bool = False):
+    """Lanes-layout REAL-symmetric transfer amplitude via the Pallas
+    kernel: a (n, n, B), t (B,) -> (phr, phi) each (B,).  B must be a
+    multiple of ``tile``."""
+    n = a.shape[0]
+    b = a.shape[-1]
+    run = _sym_kernel_cache(n, in_spin, out_spin, sweeps, tile, interpret)
+    amp = run(a.reshape(n * n, b), t)
+    return amp[0], amp[1]
+
+
+def fidelity_sym_pallas(a: jnp.ndarray, t: jnp.ndarray, in_spin: int,
+                        out_spin: int, sweeps: int = 6,
+                        tile: int = DEFAULT_TILE,
+                        interpret: bool = False) -> jnp.ndarray:
+    phr, phi = transfer_amp_sym_pallas(a, t, in_spin, out_spin, sweeps,
+                                       tile, interpret)
+    return phr * phr + phi * phi
 
 
 def fidelity_herm_pallas(ar: jnp.ndarray, ai: jnp.ndarray, t: jnp.ndarray,

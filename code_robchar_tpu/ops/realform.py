@@ -432,6 +432,65 @@ def _herm_rotate_lanes(ar, ai, vr, vi, p, q, eps):
     return ar, ai, vr, vi
 
 
+def _sym_rotate_lanes(a, v, p, q, eps):
+    """One (p, q) pivot for REAL symmetric lanes layout: a (n, n, B),
+    v (R, n, B) carried eigenvector rows."""
+    c, s = _sym_rotation(a[p, p], a[q, q], a[p, q], eps)
+
+    cp, cq = a[:, p], a[:, q]                     # columns: (n, B)
+    a = a.at[:, p].set(c * cp - s * cq).at[:, q].set(s * cp + c * cq)
+    rp, rq = a[p], a[q]                           # rows: (n, B)
+    a = a.at[p].set(c * rp - s * rq).at[q].set(s * rp + c * rq)
+    wp, wq = v[:, p], v[:, q]                     # V rows: (R, B)
+    v = v.at[:, p].set(c * wp - s * wq).at[:, q].set(s * wp + c * wq)
+    return a, v
+
+
+def transfer_amp_sym_lanes(a: jnp.ndarray, t: jnp.ndarray, in_spin: int,
+                           out_spin: int, sweeps: int | None = None
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split transfer amplitude <out| exp(-i t A) |in> for REAL symmetric
+    A in LANES layout: a (n, n, B), t (B,) -> (phr, phi) each (B,).
+
+    The real-symmetric rotation does ~1/3 the arithmetic of the Hermitian
+    one — this is the RL-environment hot kernel (the training-side physics
+    never leaves the reals, RLreinforce...:122-133)."""
+    n = a.shape[0]
+    b = a.shape[-1]
+    if sweeps is None:
+        sweeps = _sweeps_for(a.dtype, n)
+    eps = _eps_for(a.dtype)
+
+    v = jnp.zeros((2, n, b), a.dtype)
+    v = v.at[0, in_spin].set(1.0).at[1, out_spin].set(1.0)
+    v = v + 0.0 * a[:1, :1]
+
+    def sweep(_, carry):
+        a, v = carry
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                a, v = _sym_rotate_lanes(a, v, p, q, eps)
+        return a, v
+
+    a, v = jax.lax.fori_loop(0, sweeps, sweep, (a, v))
+
+    lam = jnp.stack([a[i, i] for i in range(n)])    # (n, B), unsorted
+    w = v[1] * v[0]                                 # V[out,:] * V[in,:]
+    ang = lam * t[None, :]
+    phr = jnp.sum(w * jnp.cos(ang), axis=0)
+    phi = jnp.sum(w * -jnp.sin(ang), axis=0)
+    return phr, phi
+
+
+def fidelity_sym_lanes(a: jnp.ndarray, t: jnp.ndarray, in_spin: int,
+                       out_spin: int, sweeps: int | None = None
+                       ) -> jnp.ndarray:
+    """Batched |<out| exp(-i t A) |in>|^2, REAL symmetric lanes layout:
+    a (n, n, B), t (B,) -> (B,)."""
+    phr, phi = transfer_amp_sym_lanes(a, t, in_spin, out_spin, sweeps)
+    return phr * phr + phi * phi
+
+
 def fidelity_herm_lanes(ar: jnp.ndarray, ai: jnp.ndarray, t: jnp.ndarray,
                         in_spin: int, out_spin: int,
                         sweeps: int | None = None) -> jnp.ndarray:

@@ -105,3 +105,18 @@ def test_batched_shapes(rng):
     assert lam.shape == (3, 4, n) and v.shape == (3, 4, n, n)
     fid = realform.fidelity_sym(h, jnp.asarray(2.0), 0, 2)
     assert fid.shape == (3, 4)
+
+
+def test_fidelity_sym_lanes_matches_rows(rng):
+    """The real-symmetric lanes kernel (RL env hot path) must agree with
+    the rows-path fidelity_sym to full precision."""
+    from code_robchar_tpu.ops import realform
+    n, b = 5, 7
+    a = rng.normal(size=(b, n, n))
+    a = (a + a.transpose(0, 2, 1)) / 2
+    t = rng.uniform(1, 20, b)
+    want = np.asarray(realform.fidelity_sym(jnp.asarray(a),
+                                            jnp.asarray(t), 0, 3))
+    got = np.asarray(realform.fidelity_sym_lanes(
+        jnp.asarray(a.transpose(1, 2, 0)), jnp.asarray(t), 0, 3))
+    np.testing.assert_allclose(got, want, atol=1e-11, rtol=0)
