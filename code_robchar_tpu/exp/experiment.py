@@ -262,4 +262,8 @@ class Experiment:
                 print(f"saved {model_name} {noise}")
 
     def load(self):
-        raise NotImplementedError
+        """Reload the experiment's results JSON (the respawn checkpoint
+        written by _flush) into self.results."""
+        from code_robchar_tpu.utils import io
+        self.results = io.load_json(self.filename)
+        return self.results

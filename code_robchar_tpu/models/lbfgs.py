@@ -203,9 +203,9 @@ class LBFGS(ControlOptimizer):
         d = self.Nspin + 1
         lower, upper = self._lower, self._upper
         maxiter = self.maxiter
-        # scipy path uses maxfun=500 when noisy (qnewton.py:513-514) and its
-        # default (effectively unbounded here) when noiseless.
-        maxfun = 500 if noisy else 3000
+        # scipy path uses maxfun=500 when noisy (qnewton.py:513-514) and
+        # scipy's default maxfun=15000 when noiseless.
+        maxfun = 500 if noisy else 15000
         h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
 
         if noisy:

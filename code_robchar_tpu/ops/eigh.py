@@ -19,10 +19,10 @@ a_pq = r e^{i alpha}:
 zeroes A[p,q] exactly; A <- J^H A J, V <- V J.  Off-diagonal Frobenius mass
 decays quadratically once sweeps converge; SWEEPS below is sized for
 n <= 16 at float32 (throughput regime) and float64 (parity regime) —
-validated against `numpy.linalg.eigh` in tests/test_eigh.py.
+validated against LAPACK eigh in tests/test_propagate.py.
 
-This file is the pure-XLA formulation; the Pallas kernel in
-``code_robchar_tpu.ops.pallas_eigh`` implements the same schedule with
+This file is the pure-XLA formulation; the Pallas kernels in
+``code_robchar_tpu.ops.pallas_jacobi`` implement the same schedule with
 explicit VMEM staging for peak throughput.
 """
 

@@ -30,3 +30,76 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+# ---------------------------------------------------------------------------
+# quick tier: `pytest -m quick` runs the sub-5s tests (< 2 min wall) so CI
+# has a fast gate; the full suite stays the release gate.  Durations from a
+# full CPU run are pinned here — re-tier when kernels change materially.
+# ---------------------------------------------------------------------------
+
+_SLOW_TESTS = {
+    "tests/test_realform.py::test_jacobi_herm_matches_lapack",
+    "tests/test_mc.py::test_fused_metric_sweep_chunk_invariance",
+    "tests/test_propagate.py::test_jacobi_eigh_matches_lapack",
+    "tests/test_more_coverage.py::test_run_var_spins",
+    "tests/test_realform.py::test_fidelity_herm_parity",
+    "tests/test_realform.py::test_fidelity_sym_parity",
+    "tests/test_models.py::test_lbfgs_ham_noisy_runs",
+    "tests/test_experiment.py::test_singlerun_ccollector_le_schema_and_mc_interop",
+    "tests/test_pallas.py::test_pallas_matches_lanes_interpret",
+    "tests/test_realform.py::test_jacobi_sym_matches_lapack",
+    "tests/test_shims.py::test_ppo_wass_value_targets_smoke",
+    "tests/test_reference_interop.py::test_shipped_mc_tensor_numeric_parity[N6_0-5]",
+    "tests/test_mc.py::test_fused_metric_sweep_matches_unfused",
+    "tests/test_models.py::test_snob_budget_accounting",
+    "tests/test_experiment.py::test_var_noise_record_schema",
+    "tests/test_models.py::test_fixed_ham_multiplier_accounting",
+    "tests/test_models.py::test_nmplus_threshold_mode",
+    "tests/test_more_coverage.py::test_env_golden_n10",
+    "tests/test_models.py::test_adam_restart_retry_and_per_stream_candidates",
+    "tests/test_more_coverage.py::test_characterise_one_call",
+    "tests/test_ppo.py::test_ppo_multi_agent_vmap",
+    "tests/test_ppo.py::test_ppo_fixed_ham_fcall_multiplier",
+    "tests/test_reference_interop.py::test_shipped_mc_tensor_numeric_parity[N5_0-2]",
+    "tests/test_ppo.py::test_ppo_budget_mode_and_topc",
+    "tests/test_models.py::test_lbfgs_gradient_quality_vs_scipy_budget",
+    "tests/test_mc.py::test_sweep_element_matches_direct_evaluation",
+    "tests/test_models.py::test_lbfgs_noiseless_threshold_mode",
+    "tests/test_parallel.py::test_sharded_fused_metrics_match_unsharded",
+    "tests/test_more_coverage.py::test_adaptive_shot_optimizer_accounting",
+    "tests/test_experiment.py::test_respawn_skips_completed_cells",
+    "tests/test_models.py::test_lbfgs_landscape_exploration_collects_topc",
+    "tests/test_parallel.py::test_sharded_sweep_bitwise_matches_unsharded",
+    "tests/test_realform.py::test_batched_shapes",
+    "tests/test_shims.py::test_lbfgs_reference_surface",
+    "tests/test_propagate.py::test_fidelity_via_jacobi_matches_lapack_path",
+    "tests/test_mc.py::test_characterise_cpu_autoselects_xla",
+    "tests/test_experiment.py::test_nstoch_sampling_stores_checkpoints",
+    "tests/test_models.py::test_adam_improves_under_budget",
+    "tests/test_reference_interop.py::test_shipped_lbfgs_baseline_key",
+    "tests/test_reference_interop.py::test_shipped_store_characterises",
+    "tests/test_reference_interop.py::test_fig1_reads_real_legacy_records",
+    "tests/test_reference_interop.py::test_shipped_mc_tensor_numeric_parity[N4_0-2]",
+    "tests/test_figs.py::test_fig8_scaling",
+    "tests/test_models.py::test_nm_stagnation_restart_fires",
+    "tests/test_realform.py::test_gradient_sym_parity",
+    "tests/test_realform.py::test_fidelity_sym_lanes_matches_rows",
+    "tests/test_ppo.py::test_ppo_threshold_mode",
+    "tests/test_figs.py::test_fig1_cdf_area",
+    "tests/test_mc.py::test_sweep_shape_and_zero_noise_determinism",
+    "tests/test_realform.py::test_gradient_sym_degenerate_ring",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "quick: fast test tier (< 2 min)")
+    config.addinivalue_line("markers", "slow: compile-heavy test")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)

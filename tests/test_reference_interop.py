@@ -141,3 +141,32 @@ def test_shipped_mc_tensor_numeric_parity(mcname, lename, nspin, inspin,
                                               sweep[j, :, 0])
             assert pval > 1e-3, (f"{algo} sigma={noises[j]}: KS stat "
                                  f"{stat:.4f} p={pval:.2e}")
+
+
+def test_shipped_mcm_metric_tensor_bit_parity():
+    """The published figures plot .mcm metric tensors; the reference SHIPS
+    one (N=7 0->3, tn=0.01, br_1).  Recomputing it from the shipped .mc
+    fidelities with our metric pipeline must reproduce it EXACTLY (the
+    five-metric x three-DKW-band registry, mcsim.py:463-510) — with this,
+    figure-curve parity on figs 3/4/5/6/7 reduces to the .mc parity test
+    above plus matplotlib styling."""
+    import json
+    import jax.numpy as jnp
+    from code_robchar_tpu.mc import metric_tensors
+
+    base = "/root/reference/experiments/pipeline_nmplus2/"
+    mc = (base + "ppo_spin_7_0-3_c_1000.le_tn0.01_br_1_nlvl[0.   0.01 "
+          "0.02 0.03 0.04 0.05 0.06 0.07 0.08 0.09 0.1 ].mc")
+    if not os.path.exists(mc + "m"):
+        pytest.skip("shipped .mcm not mounted")
+    fids = json.load(open(mc))
+    ref = json.load(open(mc + "m"))
+    for algo, md in ref.items():
+        ours = metric_tensors(jnp.asarray(np.asarray(fids[algo],
+                                                     dtype=float)),
+                              alpha=0.05)
+        assert set(md) <= set(ours)
+        for k, v in md.items():
+            np.testing.assert_allclose(np.asarray(ours[k]),
+                                       np.asarray(v, dtype=float),
+                                       atol=0, rtol=0, err_msg=k)
