@@ -145,3 +145,27 @@ def test_rimk_synthetics():
 
 def uniform_w(x):
     return np.full(len(x), 1.0 / len(x))
+
+
+def test_exploring_rimk_renders(tmp_path):
+    """C23 renders (exploring_rimk.py:13-238): ARIM_p curves, RIM_k
+    growth + corner pairplot, Q-vs-RIM Spearman scatters."""
+    from code_robchar_tpu.figs.rimk import ExploringRIMK
+
+    _make_store(tmp_path)
+    kw = _sim_kwargs(tmp_path, tmp_path / "figs")
+    kw.pop("fig_dir")
+    y = ExploringRIMK("pipeline_figs", **kw)
+    out = str(tmp_path / "rimk")
+    p1 = y.exploring_rim_k(noise_index=1, topk=4, algo="ppo", arim=True,
+                           save_dir=out)
+    assert p1 and os.path.exists(p1[0])
+    p2, corr = y.exploring_rim_k(noise_index=1, topk=4, algo="ppo",
+                                 arim=False, save_dir=out)
+    assert len(p2) >= 1 and corr.shape[0] == corr.shape[1]
+    path, (s1, s2) = y.exploring_metrics(noise_index=1, topk=4,
+                                         allnoisesplot=False, save_dir=out)
+    # tiny synthetic store: Q columns can be constant -> Spearman nan;
+    # the render itself is the contract here
+    assert os.path.exists(path)
+    assert np.isnan(s1) or -1 <= s1 <= 1
