@@ -201,6 +201,9 @@ class ExploringRIMK(MCDataSim):
             panel(axr[j - 1], j, fs=15)
             axr[j - 1].set_xlim(0, 1)
             axr[j - 1].set_ylim(0, 1)
+        from code_robchar_tpu.mc.datasim import remove_redundant_ticks
+        remove_redundant_ticks(axes, pltrows=5, pltcols=2,
+                               remove_x_title_too=True)
         path = None
         if save_dir:
             path = (f"{save_dir}/qfactorintuition_all_N{self.Nspin}"

@@ -7,7 +7,7 @@ from code_robchar_tpu.mc.engine import (
     arim_from_rims,
     characterise,
 )
-from code_robchar_tpu.mc.datasim import MCDataSim
+from code_robchar_tpu.mc.datasim import MCDataSim, remove_redundant_ticks
 
 __all__ = [
     "mc_fidelity_sweep",
@@ -16,4 +16,5 @@ __all__ = [
     "arim_from_rims",
     "characterise",
     "MCDataSim",
+    "remove_redundant_ticks",
 ]

@@ -38,6 +38,21 @@ class DirectoryDoesNotExistError(Exception):
     pass
 
 
+def remove_redundant_ticks(ax, pltrows, pltcols, remove_titles=False,
+                           remove_x_title_too=False):
+    """Strip inner-axis ticks/labels of a subplot grid (mcsim.py:185-196)."""
+    for i in range(pltrows):
+        for j in range(pltcols):
+            if i != pltrows - 1:
+                ax[i][j].set_xticks([])
+                if remove_x_title_too:
+                    ax[i][j].set_xlabel(None)
+            if j != 0:
+                ax[i][j].set_yticks([])
+                if remove_titles:
+                    ax[i][j].set_ylabel(None)
+
+
 class MCDataSim:
     """Monte-Carlo data generation for structured perturbations of
     XX-chain controllers, disk-cached by filename convention."""
