@@ -22,7 +22,9 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 EXP_DIR = os.path.join(HERE, "experiments")
 FIG_DIR = os.path.join(HERE, "paperfigs")
 NOISES_TRAIN = [0.0, 0.05, 0.1]
-N, OUT, C, BUDGET = 5, 2, 1000, int(1e6)
+# transition selectable from the CLI: `python run_selfgen.py 7 6`
+N, OUT = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (5, 2)
+C, BUDGET = 1000, int(1e6)
 
 
 def collect():

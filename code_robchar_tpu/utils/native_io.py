@@ -115,9 +115,23 @@ def decode_tensor(text: str) -> np.ndarray:
     return arr.reshape(tuple(shape[i] for i in range(ndim.value)))
 
 
+#: binary sidecar for .mc caches: alongside the canonical JSON, write a
+#: `<path>.mcb` (numpy .npz container) and prefer it on reload when fresh.
+#: The JSON stays byte-compatible with the reference and is never skipped
+#: on write — the sidecar only removes the reload-time parse (the .mc body
+#: for the paper workload is ~200 MB of text).  Disable with
+#: ROBCHAR_MC_SIDECAR=0.
+SIDECAR = os.environ.get("ROBCHAR_MC_SIDECAR", "1") != "0"
+
+
+def _sidecar_path(path: str) -> str:
+    return path + ".mcb"
+
+
 def dump_mc(tensors: Dict[str, np.ndarray], path: str) -> None:
     """Write the .mc envelope {algo: nested lists} with native-encoded
-    tensor bodies; byte-compatible with json.dump of the same dict."""
+    tensor bodies; byte-compatible with json.dump of the same dict.
+    Also writes the binary sidecar (see SIDECAR)."""
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
@@ -132,6 +146,12 @@ def dump_mc(tensors: Dict[str, np.ndarray], path: str) -> None:
             f.write(encode_tensor(np.asarray(arr)))
         f.write("}")
     os.replace(tmp, path)
+    if SIDECAR:
+        sc_tmp = _sidecar_path(path) + ".tmp.npz"
+        np.savez(sc_tmp[:-4],
+                 **{k: np.asarray(v, dtype=float)
+                    for k, v in tensors.items()})
+        os.replace(sc_tmp, _sidecar_path(path))
 
 
 def load_mc(path: str) -> Dict[str, np.ndarray]:
@@ -141,6 +161,12 @@ def load_mc(path: str) -> Dict[str, np.ndarray]:
     level of string keys over pure array values); array bodies go through
     the native decoder.
     """
+    if SIDECAR:
+        sc = _sidecar_path(path)
+        if os.path.exists(sc) and \
+                os.path.getmtime(sc) >= os.path.getmtime(path):
+            with np.load(sc) as z:
+                return {k: z[k] for k in z.files}
     with open(path, "r") as f:
         text = f.read()
     lib = _load()

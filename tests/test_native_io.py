@@ -71,3 +71,30 @@ def test_decoder_rejects_ragged():
         # fallback json path would return object array; native returns
         # error -> json fallback raises ValueError on ragged
         np.asarray(bad, dtype=float)
+
+
+def test_mc_sidecar_roundtrip_and_freshness(tmp_path, rng):
+    """The .mcb binary sidecar must round-trip exactly, be preferred when
+    fresh, and be ignored when stale (JSON stays canonical)."""
+    import os
+    import time
+    import numpy as np
+    from code_robchar_tpu.utils import native_io
+
+    path = str(tmp_path / "t.mc")
+    tens = {"ppo": rng.normal(size=(2, 3, 4)), "snob": rng.normal(size=(2, 3, 4))}
+    native_io.dump_mc(tens, path)
+    assert os.path.exists(path + ".mcb")
+    got = native_io.load_mc(path)
+    for k in tens:
+        np.testing.assert_array_equal(got[k], tens[k])
+
+    # stale sidecar: rewrite the JSON only -> loader must fall back to it
+    time.sleep(0.05)
+    tens2 = {"ppo": tens["ppo"] + 1.0}
+    import json
+    with open(path, "w") as f:
+        json.dump({k: v.tolist() for k, v in tens2.items()}, f)
+    got2 = native_io.load_mc(path)
+    assert set(got2) == {"ppo"}
+    np.testing.assert_allclose(got2["ppo"], tens2["ppo"], rtol=0, atol=0)
