@@ -73,10 +73,10 @@ def figures():
     t0 = time.time()
     y = IndividualContComparisons("pipeline_selfgen", **kw)
     p1 = y.plot_figs_3_6_10_11_12(noise_keys=noises_sim[:6],
-                                  figname="selfgen_fig6")
-    p2 = y.plot_fig3e(noise_keys=noises_sim[:1], figname="selfgen_fig3e")
+                                  figname=f"selfgen_fig6_N{N}_0-{OUT}")
+    p2 = y.plot_fig3e(noise_keys=noises_sim[:1], figname=f"selfgen_fig3e_N{N}_0-{OUT}")
     a = ARIMGenerator("pipeline_selfgen", **kw)
-    p3 = a.get_ARIM_plot(figname="selfgen_fig5")
+    p3 = a.get_ARIM_plot(figname=f"selfgen_fig5_N{N}_0-{OUT}")
     print(f"[selfgen] figures in {time.time() - t0:.0f}s: {p1} {p2} {p3}")
 
 
