@@ -170,6 +170,11 @@ class Adam(ControlOptimizer):
     def run(self):
         # Adam is a persistent stream, not independent restarts: cap the
         # number of segments by the fcall budget; repeats is irrelevant
-        # (reference loops on tot_its alone, qnewton.py:674).
+        # (reference loops on tot_its alone, qnewton.py:674).  Each run()
+        # starts a FRESH stream like the reference's (moments, iteration
+        # counter, Sobol pointers all re-initialised).
         self.repeats = int(1e18)
+        self._seg_fns = None
+        if hasattr(self, "_stream"):
+            del self._stream
         return super().run()

@@ -155,7 +155,6 @@ class PPO_en:
         self.Monte_env = LBFGS(nspin, in_spin, out_spin, noise=noise,
                                testing=True)
 
-        self._epoch_fn = None
 
     # ----------------------------------------------------------- builders
 
