@@ -108,6 +108,9 @@ class NStochOpt(MCDataSim):
                                               marker=marker, cdict=cdict)
                 except KeyError:
                     continue
+                # the reference hard-codes 1e6 fcalls per checkpoint on
+                # the x-axis (gen_fig_8:81) regardless of the actual
+                # records_update_rate — quirk preserved for figure parity
                 fcalls = (np.arange(len(arims)) * 1e6).astype(int)
                 mean_arim = arims.mean(axis=-1)[:max_checkpoints]
                 boot_std = self.bootstrap_resampling_std(
