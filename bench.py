@@ -93,13 +93,29 @@ def main():
     # The timed program is the FUSED sweep+metric reduction
     # (engine.mc_metric_sweep): metrics accumulate inside the lax.map
     # chunks, so the (11, 10k, 100) fidelity tensor never exists in HBM.
-    warm = engine.mc_metric_sweep(h0, ctrl, noises, key, **kwargs)
+    # On a multi-chip host the controller axis shards over the mesh
+    # (sharded_mc_metrics is bit-identical to the unsharded path —
+    # tests/test_parallel.py pins this on the virtual mesh).
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from code_robchar_tpu.parallel import make_mesh, sharded_mc_metrics
+        mesh = make_mesh()
+
+        def run_metrics(k):
+            return sharded_mc_metrics(
+                mesh, h0, ctrl, noises, k, bootreps, 0, 6,
+                complex_offdiag=True, chunk=8192,
+                use_pallas=kwargs["use_pallas"])
+    else:
+        def run_metrics(k):
+            return engine.mc_metric_sweep(h0, ctrl, noises, k, **kwargs)
+
+    warm = run_metrics(key)
     handshake.join()
     float(jnp.sum(warm[r"$W(.,\delta(x-1))$"]))  # fetch barrier
 
     start = time.perf_counter()
-    metrics = engine.mc_metric_sweep(h0, ctrl, noises,
-                                     jax.random.key(1), **kwargs)
+    metrics = run_metrics(jax.random.key(1))
     checksum = float(jnp.sum(metrics[r"$W(.,\delta(x-1))$"]))
     elapsed = time.perf_counter() - start
 
@@ -163,6 +179,7 @@ def main():
         "ppo_agents": agents,
         "zoo_lbfgs_restarts_per_s": round(zoo_rate, 2),
         "device": str(jax.devices()[0]),
+        "n_devices": n_dev,
     }))
 
 
