@@ -68,82 +68,98 @@ class Adam(ControlOptimizer):
         the last update of the segment that ends on a 5000-update
         boundary, matching the reference's (its+1) % 5000 == 0 check."""
         spec = self.spec()
-        exact = objectives.make_exact_gradient(spec)
-        infid_eval = objectives.make_infidelity(spec)
+        exact_b = objectives.make_exact_gradient_batch(spec)
+        infid_b = objectives.make_infidelity_batch(spec)
         h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
         lower, upper = self._lower, self._upper
         eta, gate = self.eta, self.grad_gate
         seg = self.segment_its
         kc = max(1, min(self.cand_per_segment, seg))
+        n = self.Nspin
 
         # stream-strided Sobol restart table: entry [ptr, sid] is global
         # Sobol draw ptr * n_streams + sid (disjoint per-stream sequences)
         table = jnp.asarray(
             self._sobol_stream(_TABLE_LEN * n_streams)
         ).reshape(_TABLE_LEN, n_streams, self.Nspin + 1)
+        sids = jnp.arange(n_streams, dtype=jnp.int32)
 
+        # the whole stream batch rides the LANE dimension: one Jacobi
+        # chain per step evaluates every stream's gradient
+        # (objectives.make_exact_gradient_batch), instead of a vmapped
+        # batch-first eigh per stream
         def adam_step(carry, _):
-            w, m, v, key = carry
-            err, grad = exact(w)
-            m = _BETA1 * m + (1 - _BETA1) * grad
-            v = _BETA2 * v + (1 - _BETA2) * grad * grad
+            w, m, v, key = carry                       # w/m/v (K, d)
+            errs, grads = exact_b(w)
+            m = _BETA1 * m + (1 - _BETA1) * grads
+            v = _BETA2 * v + (1 - _BETA2) * grads * grads
             m_hat = m / (1 - _BETA1)
             v_hat = v / (1 - _BETA2)
             w = w - eta * m_hat / (jnp.sqrt(v_hat) + 1e-8)
             key, kf = jax.random.split(key)
-            fi_err, _ = infid_eval(w, kf)   # ranking eval: NOT billed
-            return (w, m, v, key), (1.0 - fi_err, w)
+            fi_errs, _ = infid_b(w, kf)    # ranking eval: NOT billed
+            return (w, m, v, key), (1.0 - fi_errs, w)
 
-        def retry_restart(w, ptr, sid):
-            """qnewton.py:681-700: draw Sobol candidates until the exact
-            gradient at the candidate clears the norm gate; each probe
-            bills 1 fcall + 1 iteration.  Keeps current w on cap-out."""
+        def retry_restart(w, ptr):
+            """qnewton.py:681-700, batched: every stream draws Sobol
+            candidates until ITS exact gradient clears the norm gate;
+            each probe bills 1 fcall + 1 iteration per still-active
+            stream.  Keeps current w on cap-out."""
             def cond(st):
                 ok, tries, ptr, _ = st
-                return (~ok) & (tries < _MAX_RETRIES)
+                return jnp.any((~ok) & (tries < _MAX_RETRIES))
 
             def body(st):
-                _, tries, ptr, w_cur = st
-                u = table[ptr % _TABLE_LEN, sid].astype(w_cur.dtype)
-                cand = lower + (upper - lower) * u
-                _, g = exact(cand)
-                ok = jnp.linalg.norm(g) > gate
-                return ok, tries + 1, ptr + 1, jnp.where(ok, cand, w_cur)
+                ok, tries, ptr, w_cur = st
+                active = (~ok) & (tries < _MAX_RETRIES)
+                u = table[ptr % _TABLE_LEN, sids].astype(w_cur.dtype)
+                cands = lower + (upper - lower) * u
+                _, g = exact_b(cands)
+                passed = jnp.linalg.norm(g, axis=-1) > gate
+                ok = jnp.where(active, passed, ok)
+                w_cur = jnp.where((active & passed)[:, None], cands, w_cur)
+                tries = jnp.where(active, tries + 1, tries)
+                ptr = jnp.where(active, ptr + 1, ptr)
+                return ok, tries, ptr, w_cur
 
             ok, tries, ptr, w = jax.lax.while_loop(
-                cond, body, (jnp.asarray(False), jnp.int32(0), ptr, w))
+                cond, body, (jnp.zeros(n_streams, bool),
+                             jnp.zeros(n_streams, jnp.int32), ptr, w))
             return w, ptr, tries
 
-        def finish(w, m, v, it, ptr, key, fis, ws, extra):
-            fid = fis[-1]
-            true = fidelity_from_controller_sym(h0, w, in_spin, out_spin)
-            cf, ci = jax.lax.top_k(fis, kc)
+        def finish(w, m, v, it, ptr, fis, ws, extra):
+            fid = fis[-1]                              # (K,)
+            hs = jnp.broadcast_to(h0[:, :, None],
+                                  (n, n, n_streams)).astype(h0.dtype)
+            for i in range(n):
+                hs = hs.at[i, i].add(w[:, i].astype(h0.dtype))
+            from code_robchar_tpu.ops.realform import fidelity_sym_lanes
+            true = fidelity_sym_lanes(hs, jnp.abs(w[:, n]), in_spin,
+                                      out_spin)
+            cf, ci = jax.lax.top_k(fis.T, kc)          # (K, kc)
+            cand_x = jnp.take_along_axis(
+                jnp.moveaxis(ws, 0, 1), ci[:, :, None], axis=1)
             return (w, m, v, it + seg, ptr, fid, true,
-                    seg + extra, seg + extra, cf, ws[ci])
+                    seg + extra, seg + extra, cf, cand_x)
 
-        def one_plain(w, m, v, it, ptr, key, sid):
-            (w, m, v, key), (fis, ws) = jax.lax.scan(
-                adam_step, (w, m, v, key), None, length=seg)
-            return finish(w, m, v, it, ptr, key, fis, ws,
-                          jnp.int32(0))
+        @jax.jit
+        def one_plain(w, m, v, it, ptr, keys):
+            (w, m, v, _), (fis, ws) = jax.lax.scan(
+                adam_step, (w, m, v, keys[0]), None, length=seg)
+            return finish(w, m, v, it, ptr, fis, ws,
+                          jnp.zeros(n_streams, jnp.int32))
 
-        def one_restart(w, m, v, it, ptr, key, sid):
+        @jax.jit
+        def one_restart(w, m, v, it, ptr, keys):
             (w, m, v, key), (fis, ws) = jax.lax.scan(
-                adam_step, (w, m, v, key), None, length=seg - 1)
-            w, ptr, probes = retry_restart(w, ptr, sid)
+                adam_step, (w, m, v, keys[0]), None, length=seg - 1)
+            w, ptr, probes = retry_restart(w, ptr)
             (w, m, v, key), (fi_l, w_l) = adam_step((w, m, v, key), None)
             fis = jnp.concatenate([fis, fi_l[None]])
             ws = jnp.concatenate([ws, w_l[None]])
-            return finish(w, m, v, it, ptr, key, fis, ws, probes)
+            return finish(w, m, v, it, ptr, fis, ws, probes)
 
-        sids = jnp.arange(n_streams, dtype=jnp.int32)
-
-        def vm(fn):
-            jitted = jax.jit(jax.vmap(fn))
-            return lambda w, m, v, it, ptr, keys: jitted(
-                w, m, v, it, ptr, keys, sids)
-
-        return vm(one_plain), vm(one_restart)
+        return one_plain, one_restart
 
     def _run_batch(self, x0s, keys) -> BatchResult:
         """One segment of `segment_its` Adam iterations across the stream

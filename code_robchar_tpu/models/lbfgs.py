@@ -12,6 +12,13 @@ for sequential-by-nature optimizers is *fcall-budget-matched controller
 distributions*, not per-run trajectories — scipy's own iteration counts are
 not reproducible across scipy versions either.
 
+Round-2 layout: the restart batch rides the LANE dimension end-to-end —
+one `lax.while_loop` advances ALL restarts in lockstep (finished lanes
+freeze via masking), every objective/gradient evaluation is one lanes
+Jacobi chain over the whole batch (objectives.make_exact_gradient_batch /
+make_infidelity_batch), and the two-loop recursion runs on (K, m, d)
+history tensors with batched dots.
+
 Objective regimes (noiseless exact-gradient / noisy finite-difference) and
 function-call accounting mirror qnewton.py:496-569, including the
 reference's double-billing of d["funcalls"] in the non-adaptive path
@@ -52,136 +59,150 @@ class _State(NamedTuple):
     key: jax.Array
 
 
-def _two_loop(g, s_hist, y_hist, rho, hist_len):
-    """Two-loop recursion over a rolling history (newest at index 0)."""
-    m = s_hist.shape[0]
+def _two_loop_batch(g, s_hist, y_hist, rho, hist_len):
+    """Two-loop recursion over rolling histories, batched: g (K, d),
+    s_hist/y_hist (K, m, d), rho (K, m), hist_len (K,) -> direction (K, d)
+    (newest pair at index 0)."""
+    m = s_hist.shape[1]
+
+    def dot(a, b):
+        return jnp.sum(a * b, axis=-1)
 
     def bwd(i, carry):
         q, alphas = carry
         valid = i < hist_len
-        alpha = jnp.where(valid, rho[i] * jnp.dot(s_hist[i], q), 0.0)
-        q = q - alpha * y_hist[i]
-        return q, alphas.at[i].set(alpha)
+        alpha = jnp.where(valid, rho[:, i] * dot(s_hist[:, i], q), 0.0)
+        q = q - alpha[:, None] * y_hist[:, i]
+        return q, alphas.at[:, i].set(alpha)
 
-    q, alphas = jax.lax.fori_loop(0, m, bwd, (g, jnp.zeros(m, g.dtype)))
+    q, alphas = jax.lax.fori_loop(
+        0, m, bwd, (g, jnp.zeros(rho.shape, g.dtype)))
 
     # initial Hessian scaling gamma = s.y / y.y of the newest pair
     newest_valid = hist_len > 0
-    sy = jnp.dot(s_hist[0], y_hist[0])
-    yy = jnp.dot(y_hist[0], y_hist[0])
+    sy = dot(s_hist[:, 0], y_hist[:, 0])
+    yy = dot(y_hist[:, 0], y_hist[:, 0])
     gamma = jnp.where(newest_valid & (yy > 0), sy / jnp.maximum(yy, 1e-30),
                       1.0)
-    r = gamma * q
+    r = gamma[:, None] * q
 
     def fwd(j, r):
         i = m - 1 - j
         valid = i < hist_len
-        beta = jnp.where(valid, rho[i] * jnp.dot(y_hist[i], r), 0.0)
-        return r + jnp.where(valid, (alphas[i] - beta), 0.0) * s_hist[i]
+        beta = jnp.where(valid, rho[:, i] * dot(y_hist[:, i], r), 0.0)
+        return r + jnp.where(valid, alphas[:, i] - beta,
+                             0.0)[:, None] * s_hist[:, i]
 
     r = jax.lax.fori_loop(0, m, fwd, r)
     return -r
 
 
-def _push_history(s_hist, y_hist, rho, hist_len, s, y):
-    sy = jnp.dot(s, y)
-    accept = sy > 1e-10
+def _push_history_batch(s_hist, y_hist, rho, hist_len, s, y, update):
+    """Masked per-lane history push: lanes with ``update`` False (frozen)
+    or a non-curvature pair (s.y <= 1e-10) keep their history."""
+    sy = jnp.sum(s * y, axis=-1)
+    accept = update & (sy > 1e-10)
+    s2 = jnp.roll(s_hist, 1, axis=1).at[:, 0].set(s)
+    y2 = jnp.roll(y_hist, 1, axis=1).at[:, 0].set(y)
+    r2 = jnp.roll(rho, 1, axis=1).at[:, 0].set(
+        1.0 / jnp.where(accept, sy, 1.0))
+    a = accept[:, None, None]
+    return (jnp.where(a, s2, s_hist), jnp.where(a, y2, y_hist),
+            jnp.where(accept[:, None], r2, rho),
+            jnp.where(accept, jnp.minimum(hist_len + 1, s_hist.shape[1]),
+                      hist_len))
 
-    def do_push(_):
-        return (jnp.roll(s_hist, 1, axis=0).at[0].set(s),
-                jnp.roll(y_hist, 1, axis=0).at[0].set(y),
-                jnp.roll(rho, 1).at[0].set(1.0 / sy),
-                jnp.minimum(hist_len + 1, s_hist.shape[0]))
 
-    def no_push(_):
-        return s_hist, y_hist, rho, hist_len
-
-    return jax.lax.cond(accept, do_push, no_push, None)
-
-
-def _single_restart(x0, key, value_and_grad, lower, upper, maxiter, maxfun):
-    """One projected L-BFGS restart as a lax.while_loop."""
-    d = x0.shape[0]
+def _batched_restarts(x0s, key, value_and_grad_b, lower, upper, maxiter,
+                      maxfun):
+    """ALL restarts in one lax.while_loop: every objective/gradient
+    evaluation is a single lanes batch over the live lanes (frozen lanes
+    still compute but their state, billing and RNG are masked off)."""
+    k, d = x0s.shape
 
     def clip(x):
         return jnp.clip(x, lower, upper)
 
     key, k0 = jax.random.split(key)
-    f0, g0, c0 = value_and_grad(x0, k0)
-    st = _State(x=x0, f=f0, g=g0,
-                s_hist=jnp.zeros((_M, d), x0.dtype),
-                y_hist=jnp.zeros((_M, d), x0.dtype),
-                rho=jnp.zeros(_M, x0.dtype),
-                hist_len=jnp.asarray(0),
-                nfev=c0.astype(jnp.int32), nit=jnp.asarray(0, jnp.int32),
-                done=jnp.asarray(False), key=key)
+    f0, g0, c0 = value_and_grad_b(x0s, k0)
+    st = _State(x=x0s, f=f0, g=g0,
+                s_hist=jnp.zeros((k, _M, d), x0s.dtype),
+                y_hist=jnp.zeros((k, _M, d), x0s.dtype),
+                rho=jnp.zeros((k, _M), x0s.dtype),
+                hist_len=jnp.zeros(k, jnp.int32),
+                nfev=c0.astype(jnp.int32),
+                nit=jnp.zeros(k, jnp.int32),
+                done=jnp.zeros(k, bool), key=key)
 
     def proj_grad_norm(x, g):
-        # gradient projected onto the feasible box
         pg = jnp.where((x <= lower) & (g > 0), 0.0, g)
         pg = jnp.where((x >= upper) & (pg < 0), 0.0, pg)
-        return jnp.max(jnp.abs(pg))
+        return jnp.max(jnp.abs(pg), axis=-1)
 
-    def cond(st):
+    def active_of(st):
         return (~st.done) & (st.nit < maxiter) & (st.nfev < maxfun)
 
+    def cond(st):
+        return jnp.any(active_of(st))
+
     def body(st):
-        direction = _two_loop(st.g, st.s_hist, st.y_hist, st.rho,
-                              st.hist_len)
-        # fall back to steepest descent if the direction is not a descent
-        gd = jnp.dot(st.g, direction)
-        direction = jnp.where(gd < 0, direction, -st.g)
+        active = active_of(st)
+        direction = _two_loop_batch(st.g, st.s_hist, st.y_hist, st.rho,
+                                    st.hist_len)
+        gd = jnp.sum(st.g * direction, axis=-1)
+        direction = jnp.where((gd < 0)[:, None], direction, -st.g)
 
-        # Armijo backtracking with box projection; all candidate points
-        # evaluated sequentially inside a fori_loop (tiny d => cheap).
-        def ls_body(i, carry):
-            step, x_new, f_new, accepted, nfev, key = carry
+        # Armijo backtracking with box projection: each round evaluates
+        # ONE candidate per still-searching lane and the loop exits as
+        # soon as EVERY active lane has accepted (typical: 1-3 rounds —
+        # a fixed 20-round unroll wastes ~5x the evaluation chains)
+        def ls_cond(carry):
+            step, x_new, f_new, accepted, nfev, key, tries = carry
+            return jnp.any((~accepted) & active) & (tries < _MAX_BACKTRACK)
 
-            def try_step(args):
-                step, key, nfev = args
-                key, kk = jax.random.split(key)
-                cand = clip(st.x + step * direction)
-                fc, _, cc = value_and_grad(cand, kk)
-                # directional derivative along the projected step
-                dd = jnp.dot(st.g, cand - st.x)
-                ok = fc <= st.f + _C1 * dd
-                return cand, fc, ok, nfev + cc, key, step * 0.5
-
-            cand, fc, ok, nfev2, key2, next_step = try_step(
-                (step, key, nfev))
-            take = (~accepted)
-            x_new = jnp.where(take & ok, cand, x_new)
+        def ls_body(carry):
+            step, x_new, f_new, accepted, nfev, key, tries = carry
+            key, kk = jax.random.split(key)
+            cands = clip(st.x + step[:, None] * direction)
+            fc, _, cc = value_and_grad_b(cands, kk)
+            dd = jnp.sum(st.g * (cands - st.x), axis=-1)
+            ok = fc <= st.f + _C1 * dd
+            take = (~accepted) & active
+            x_new = jnp.where((take & ok)[:, None], cands, x_new)
             f_new = jnp.where(take & ok, fc, f_new)
-            accepted = accepted | ok
-            return (jnp.where(take, next_step, step),
-                    x_new, f_new, accepted,
-                    jnp.where(take, nfev2, nfev), jnp.where(take, key2, key))
+            accepted = accepted | (ok & active)
+            nfev = nfev + jnp.where(take, cc, 0)
+            step = jnp.where(take, step * 0.5, step)
+            return step, x_new, f_new, accepted, nfev, key, tries + 1
 
-        init = (jnp.asarray(1.0, st.x.dtype), st.x, st.f,
-                jnp.asarray(False), st.nfev, st.key)
-        _, x_new, f_new, accepted, nfev, key = jax.lax.fori_loop(
-            0, _MAX_BACKTRACK, ls_body, init)
+        init = (jnp.full((k,), 1.0, st.x.dtype), st.x, st.f,
+                jnp.zeros(k, bool), st.nfev, st.key, jnp.int32(0))
+        (_, x_new, f_new, accepted, nfev, key, _) = jax.lax.while_loop(
+            ls_cond, ls_body, init)
 
         key, kg = jax.random.split(key)
-        f2, g_new, cg = value_and_grad(x_new, kg)
-        nfev = nfev + cg
+        f2, g_new, cg = value_and_grad_b(x_new, kg)
+        nfev = nfev + jnp.where(active, cg, 0)
 
         s = x_new - st.x
         y = g_new - st.g
-        s_hist, y_hist, rho, hist_len = _push_history(
-            st.s_hist, st.y_hist, st.rho, st.hist_len, s, y)
+        s_hist, y_hist, rho, hist_len = _push_history_batch(
+            st.s_hist, st.y_hist, st.rho, st.hist_len, s, y,
+            active & accepted)
 
         converged = (proj_grad_norm(x_new, g_new) < _PGTOL) | \
             (jnp.abs(st.f - f_new) <= _FTOL * jnp.maximum(
                 1.0, jnp.maximum(jnp.abs(st.f), jnp.abs(f_new)))) | \
             (~accepted)
 
-        return _State(x=jnp.where(accepted, x_new, st.x),
-                      f=jnp.where(accepted, f_new, st.f),
-                      g=jnp.where(accepted, g_new, st.g),
+        upd = active & accepted
+        return _State(x=jnp.where(upd[:, None], x_new, st.x),
+                      f=jnp.where(upd, f_new, st.f),
+                      g=jnp.where(upd[:, None], g_new, st.g),
                       s_hist=s_hist, y_hist=y_hist, rho=rho,
-                      hist_len=hist_len, nfev=nfev, nit=st.nit + 1,
-                      done=converged, key=key)
+                      hist_len=hist_len, nfev=nfev,
+                      nit=st.nit + active.astype(jnp.int32),
+                      done=st.done | (converged & active), key=key)
 
     st = jax.lax.while_loop(cond, body, st)
     return st
@@ -209,42 +230,39 @@ class LBFGS(ControlOptimizer):
         h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
 
         if noisy:
-            infid = objectives.make_infidelity(spec)
-            vag = objectives.make_fd_gradient(infid, d)
+            infid_b = objectives.make_infidelity_batch(spec)
+            vag_b = objectives.make_fd_gradient_batch(infid_b, d)
         else:
-            exact = objectives.make_exact_gradient(spec)
+            exact_b = objectives.make_exact_gradient_batch(spec)
 
-            def vag(x, key):
-                err, grad = exact(x)
-                return err, grad, jnp.asarray(1, jnp.int32)
+            def vag_b(xs, key):
+                errs, grads = exact_b(xs)
+                return errs, grads, jnp.full(xs.shape[0], 1, jnp.int32)
 
         # reference fcall accounting (see module docstring): non-adaptive
         # restarts bill d["funcalls"] * (mul_fac + 1).
         bill_mul = spec.mul_fac + (0 if spec.adaptive else 1)
 
-        infid_eval = objectives.make_infidelity(spec)
+        infid_eval_b = objectives.make_infidelity_batch(spec)
 
         @jax.jit
         def run_batch(x0s, keys):
-            def one(x0, key):
-                st = _single_restart(x0, key, vag, lower, upper, maxiter,
-                                     maxfun)
-                if spec.fixed_hams is not None:
-                    # reference: fi = true_fid = 1 - f under fixed-ham
-                    # (qnewton.py:527-530)
-                    fid_train = 1.0 - st.f
-                    true = 1.0 - st.f
-                else:
-                    # fresh noisy re-evaluation + clean fidelity
-                    # (qnewton.py:533-535)
-                    e, _ = infid_eval(st.x, jax.random.fold_in(key, 1))
-                    fid_train = 1.0 - e
-                    true = fidelity_from_controller_sym(h0, st.x, in_spin,
-                                                    out_spin)
-                return st.x, fid_train, true, st.nfev * bill_mul, st.nit
-
-            xs, fids, trues, nfev, nit = jax.vmap(one)(x0s, keys)
-            return BatchResult(xs, fids, trues, nfev, nit)
+            st = _batched_restarts(x0s, keys[0], vag_b, lower, upper,
+                                   maxiter, maxfun)
+            if spec.fixed_hams is not None:
+                # reference: fi = true_fid = 1 - f under fixed-ham
+                # (qnewton.py:527-530)
+                fids = trues = 1.0 - st.f
+            else:
+                # fresh noisy re-evaluation + clean fidelity
+                # (qnewton.py:533-535)
+                e, _ = infid_eval_b(st.x, jax.random.fold_in(keys[0], 1))
+                fids = 1.0 - e
+                trues = jax.vmap(
+                    lambda x: fidelity_from_controller_sym(
+                        h0, x, in_spin, out_spin))(st.x)
+            return BatchResult(st.x, fids, trues, st.nfev * bill_mul,
+                               st.nit)
 
         return run_batch
 

@@ -173,6 +173,109 @@ def _nm_while(simplex0, key, infid, lower, upper, maxfev, xatol=1e-4,
     return st.simplex[order[0]], st.fvals[order[0]], st.nfev, st.nit
 
 
+def _nm_while_batched(simplex0, key, infid_b, lower, upper, maxfev,
+                      xatol=1e-4, fatol=1e-4):
+    """ALL restarts in one lax.while_loop: simplex0 (K, d+1, d); every
+    candidate evaluation round is ONE lanes objective batch over the K
+    restarts (objectives.make_infidelity_batch).  Finished restarts
+    freeze via masking; per-restart billing and convergence semantics
+    match the single-restart _nm_while."""
+    k, dp1, d = simplex0.shape
+
+    def clip(x):
+        return jnp.clip(x, lower, upper)
+
+    key, k0 = jax.random.split(key)
+    f0, c0 = infid_b(simplex0.reshape(k * dp1, d), k0)
+    f0 = f0.reshape(k, dp1)
+    nfev0 = jnp.sum(c0.reshape(k, dp1), axis=1).astype(jnp.int32)
+
+    st0 = (simplex0, f0, nfev0, jnp.zeros(k, jnp.int32), key)
+
+    def active_of(st):
+        simplex, fvals, nfev, nit, _ = st
+        spread_f = jnp.max(jnp.abs(fvals - fvals[:, :1]), axis=1)
+        spread_x = jnp.max(jnp.abs(simplex - simplex[:, :1]), axis=(1, 2))
+        return (nfev < maxfev) & ((spread_f > fatol) | (spread_x > xatol))
+
+    def cond(st):
+        return jnp.any(active_of(st))
+
+    def body(st):
+        simplex_in, fvals_in, nfev, nit, key = st
+        active = active_of(st)
+        order = jnp.argsort(fvals_in, axis=1)
+        simplex = jnp.take_along_axis(simplex_in, order[:, :, None], axis=1)
+        fvals = jnp.take_along_axis(fvals_in, order, axis=1)
+        centroid = jnp.mean(simplex[:, :-1], axis=1)
+        worst = simplex[:, -1]
+
+        key, kc = jax.random.split(key)
+        xr = clip(centroid + _ALPHA * (centroid - worst))
+        xe = clip(centroid + _GAMMA * (xr - centroid))
+        xc_out = clip(centroid + _RHO * (xr - centroid))
+        xc_in = clip(centroid - _RHO * (centroid - worst))
+        cands = jnp.stack([xr, xe, xc_out, xc_in], axis=1)  # (K, 4, d)
+        fs, cs = infid_b(cands.reshape(k * 4, d), kc)
+        fr, fe, fc_out, fc_in = [fs.reshape(k, 4)[:, i] for i in range(4)]
+        per_eval = cs.reshape(k, 4)[:, 0]  # adaptive in-band draw costs
+
+        f_best = fvals[:, 0]
+        f_second_worst = fvals[:, -2]
+        f_worst = fvals[:, -1]
+
+        use_expand = (fr < f_best) & (fe < fr)
+        use_reflect = (fr < f_second_worst) & ~use_expand
+        use_contract_out = (~use_expand & ~use_reflect &
+                            (fr < f_worst) & (fc_out <= fr))
+        use_contract_in = (~use_expand & ~use_reflect & (fr >= f_worst) &
+                           (fc_in < f_worst))
+        shrink = ~(use_expand | use_reflect | use_contract_out |
+                   use_contract_in)
+
+        new_point = jnp.where(use_expand[:, None], xe,
+                      jnp.where(use_reflect[:, None], xr,
+                        jnp.where(use_contract_out[:, None], xc_out,
+                          jnp.where(use_contract_in[:, None], xc_in,
+                                    worst))))
+        new_f = jnp.where(use_expand, fe,
+                  jnp.where(use_reflect, fr,
+                    jnp.where(use_contract_out, fc_out,
+                      jnp.where(use_contract_in, fc_in, f_worst))))
+
+        simplex = simplex.at[:, -1].set(new_point)
+        fvals = fvals.at[:, -1].set(new_f)
+
+        # shrink toward the best vertex; re-evaluate all vertices
+        shrunk = simplex[:, :1] + _SIGMA * (simplex - simplex[:, :1])
+        key, ks = jax.random.split(key)
+        f_shrunk, _unused2 = infid_b(shrunk.reshape(k * dp1, d), ks)
+        f_shrunk = f_shrunk.reshape(k, dp1)
+        simplex = jnp.where(shrink[:, None, None], shrunk, simplex)
+        fvals = jnp.where(shrink[:, None], f_shrunk, fvals)
+
+        # bill what the SEQUENTIAL algorithm would evaluate (scipy NM
+        # accounting): reflect always; expand only when fr < f_best; one
+        # contraction when neither accepts; d+1 re-evals on shrink.
+        bill = (per_eval
+                + jnp.where(fr < f_best, per_eval, 0)
+                + jnp.where(~use_expand & ~use_reflect, per_eval, 0)
+                + jnp.where(shrink, per_eval * (dp1 - 1), 0)
+                ).astype(jnp.int32)
+        nfev = nfev + jnp.where(active, bill, 0)
+
+        keep = active
+        simplex = jnp.where(keep[:, None, None], simplex, simplex_in)
+        fvals = jnp.where(keep[:, None], fvals, fvals_in)
+        return (simplex, fvals, nfev, nit + keep.astype(jnp.int32), key)
+
+    simplex, fvals, nfev, nit, _ = jax.lax.while_loop(cond, body, st0)
+    order = jnp.argsort(fvals, axis=1)
+    best_x = jnp.take_along_axis(simplex, order[:, :1, None], axis=1)[:, 0]
+    best_f = jnp.take_along_axis(fvals, order[:, :1], axis=1)[:, 0]
+    return best_x, best_f, nfev, nit
+
+
 def regular_simplex(x0: jnp.ndarray, lower, upper, key) -> jnp.ndarray:
     """Regular-simplex initialisation in the box around random magnitudes —
     capability parity with the reference's accelerated-NM init_simplex
@@ -201,7 +304,7 @@ class NMPlus(ControlOptimizer):
 
     def _build_batch_fn(self):
         spec = self.spec()
-        infid = objectives.make_infidelity(spec)
+        infid_b = objectives.make_infidelity_batch(spec)
         lower, upper = self._lower, self._upper
         maxfev = self.maxfev
         h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
@@ -209,26 +312,26 @@ class NMPlus(ControlOptimizer):
 
         @jax.jit
         def run_batch(x0s, keys):
-            def one(x0, key):
-                ki, kr = jax.random.split(key)
-                # scipy-style init: axis steps of 5% around x0
-                d = x0.shape[0]
-                steps = jnp.where(x0 != 0, 0.05 * x0, 0.00025)
-                simplex0 = jnp.concatenate(
-                    [x0[None], x0[None] + jnp.diag(steps)], axis=0)
-                simplex0 = jnp.clip(simplex0, lower, upper)
-                x, f, nfev, nit = _nm_while(simplex0, kr, infid, lower,
-                                            upper, maxfev)
-                if spec.fixed_hams is not None:
-                    fid = true = 1.0 - f  # nmplus.py:229-231
-                else:
-                    e, _ = infid(x, jax.random.fold_in(key, 3))
-                    fid = 1.0 - e
-                    true = fidelity_from_controller_sym(h0, x, in_spin, out_spin)
-                return x, fid, true, nfev * mul, nit * mul
-
-            xs, fids, trues, nfev, nit = jax.vmap(one)(x0s, keys)
-            return BatchResult(xs, fids, trues, nfev, nit)
+            # scipy-style init: axis steps of 5% around x0
+            d = x0s.shape[1]
+            steps = jnp.where(x0s != 0, 0.05 * x0s, 0.00025)
+            simplex0 = jnp.concatenate(
+                [x0s[:, None, :],
+                 x0s[:, None, :] + steps[:, :, None] *
+                 jnp.eye(d, dtype=x0s.dtype)[None]], axis=1)
+            simplex0 = jnp.clip(simplex0, lower, upper)
+            xs, f, nfev, nit = _nm_while_batched(simplex0, keys[0],
+                                                 infid_b, lower, upper,
+                                                 maxfev)
+            if spec.fixed_hams is not None:
+                fids = trues = 1.0 - f  # nmplus.py:229-231
+            else:
+                e, _ = infid_b(xs, jax.random.fold_in(keys[0], 3))
+                fids = 1.0 - e
+                trues = jax.vmap(
+                    lambda x: fidelity_from_controller_sym(
+                        h0, x, in_spin, out_spin))(xs)
+            return BatchResult(xs, fids, trues, nfev * mul, nit * mul)
 
         return run_batch
 

@@ -109,6 +109,125 @@ def make_exact_gradient(spec: ObjectiveSpec):
     return f
 
 
+def make_exact_gradient_batch(spec: ObjectiveSpec):
+    """(xs (K, d)) -> (errs (K,), grads (K, d)): the exact analytic
+    gradient with the restart batch riding the LANE dimension through one
+    Jacobi chain — the optimizer zoo's hot path.  On TPU backends the
+    whole evaluation (full-V eigh + Daleckii-Krein contraction) is ONE
+    fused Pallas launch (pallas_jacobi.make_sym_grad_kernel); elsewhere
+    the XLA lanes kernel (realform.infidelity_and_gradient_sym_lanes)."""
+    h0r = jnp.real(spec.h0)
+    n = h0r.shape[-1]
+    use_pallas = jax.default_backend() not in ("cpu",)
+
+    def f(xs):
+        b = xs.shape[0]
+        if use_pallas:
+            tile = min(1024, b)
+            if b % tile == 0:
+                from code_robchar_tpu.ops.pallas_jacobi import \
+                    infidelity_and_gradient_sym_pallas
+                sweeps = realform._sweeps_for(h0r.dtype, n)
+                return infidelity_and_gradient_sym_pallas(
+                    h0r, xs, spec.in_spin, spec.out_spin, sweeps, tile)
+        return realform.infidelity_and_gradient_sym_lanes(
+            h0r, xs, spec.in_spin, spec.out_spin)
+    return f
+
+
+def make_infidelity_batch(spec: ObjectiveSpec):
+    """(xs (K, d), key) -> (infids (K,), fcalls (K,)) — the batched lanes
+    counterpart of make_infidelity (same noise semantics and billing; draw
+    streams fold the lane index, so they differ from vmapping the
+    single-point objective — parity is distributional, SURVEY §7.4)."""
+    n = spec.h0.shape[-1]
+    h0r = jnp.real(spec.h0)
+    fixed_r = jnp.real(spec.fixed_hams) if spec.fixed_hams is not None \
+        else None
+    use_pallas = jax.default_backend() not in ("cpu",)
+
+    def fid_lanes(a, t):
+        b = a.shape[-1]
+        if use_pallas:
+            tile = min(1024, b)
+            if b % tile == 0:
+                from code_robchar_tpu.ops.pallas_jacobi import \
+                    fidelity_sym_pallas
+                return fidelity_sym_pallas(
+                    a, t, spec.in_spin, spec.out_spin,
+                    realform._sweeps_for(a.dtype, n), tile)
+        return realform.fidelity_sym_lanes(a, t, spec.in_spin,
+                                           spec.out_spin)
+
+    def assemble(xs, zdiag, znn):
+        k = xs.shape[0]
+        dt = h0r.dtype
+        a = jnp.broadcast_to(h0r[:, :, None], (n, n, k)).astype(dt)
+        add_diag = xs[:, :n].T.astype(dt)
+        if zdiag is not None:
+            add_diag = add_diag + zdiag.T
+        for i in range(n):
+            a = a.at[i, i].add(add_diag[i])
+        if znn is not None:
+            for i in range(1, n):
+                a = a.at[i, i - 1].add(znn[:, i - 1])
+                a = a.at[i - 1, i].add(znn[:, i - 1])
+        return a
+
+    def infid(xs, key):
+        k = xs.shape[0]
+        dt = h0r.dtype
+        t = jnp.abs(xs[:, n]).astype(dt)
+        kh, ks = jax.random.split(key)
+        if fixed_r is not None:
+            # mean FIDELITY over the pre-drawn ensemble (qnewton.py:425-444)
+            r = fixed_r.shape[0]
+            base = jnp.transpose(fixed_r, (1, 2, 0)).astype(dt)  # (n,n,R)
+            a = jnp.broadcast_to(base[:, :, None, :], (n, n, k, r))
+            for i in range(n):
+                a = a.at[i, i].add(xs[:, i].astype(dt)[:, None])
+            fids = fid_lanes(a.reshape(n, n, k * r),
+                             jnp.repeat(t, r)).reshape(k, r)
+            fid = jnp.mean(fids, axis=1)
+            if spec.fid_noisy:
+                keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                    ks, jnp.arange(k, dtype=jnp.uint32))
+                fid = jax.vmap(lambda kk, f: noise_ops.shot_noise_fidelity(
+                    kk, f, spec.draws))(keys, fid)
+            return 1.0 - fid, jnp.full((k,), 1, jnp.int32)
+
+        zdiag = znn = None
+        if spec.ham_noisy:
+            # real-coupling training noise (qnewton.py:366-379), one
+            # batched draw per lane with the structured split/order
+            keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                kh, jnp.arange(k, dtype=jnp.uint32))
+            parts = jax.vmap(lambda kk: jax.random.split(kk, 3))(keys)
+            zdiag = jax.vmap(
+                lambda kk: jax.random.normal(kk, (n,), dt))(parts[:, 0]) \
+                * spec.noise
+            znn = jax.vmap(
+                lambda kk: jax.random.normal(kk, (n - 1,), dt))(
+                    parts[:, 1]) * spec.noise
+        a = assemble(xs, zdiag, znn)
+        fid = fid_lanes(a, t)
+        calls = jnp.full((xs.shape[0],), 1, jnp.int32)
+        if spec.fid_noisy:
+            keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                ks, jnp.arange(xs.shape[0], dtype=jnp.uint32))
+            if spec.adaptive:
+                fid, extra = jax.vmap(
+                    lambda kk, f: noise_ops.adaptive_shot_fidelity(
+                        kk, f, spec.draws, spec.adp_tol))(keys, fid)
+                calls = (extra + spec.draws).astype(jnp.int32)
+            else:
+                fid = jax.vmap(lambda kk, f: noise_ops.shot_noise_fidelity(
+                    kk, f, spec.draws))(keys, fid)
+        return 1.0 - fid, calls
+
+    return infid
+
+
 def make_fd_gradient(infid_fn, dim: int, eps: float = 1e-8):
     """Forward-difference gradient of a (possibly noisy) objective.
 
@@ -123,6 +242,26 @@ def make_fd_gradient(infid_fn, dim: int, eps: float = 1e-8):
         fs, cs = jax.vmap(infid_fn)(probes, keys[1:])
         g = (fs - f0) / eps
         return f0, g, (c0 + jnp.sum(cs)).astype(jnp.int32)
+    return grad
+
+
+def make_fd_gradient_batch(infid_batch_fn, dim: int, eps: float = 1e-8):
+    """Batched forward-difference gradient: (xs (K, d), key) ->
+    (f0 (K,), g (K, d), fcalls (K,)).  All K*(d+1) probes ride one lanes
+    batch; accounting matches make_fd_gradient (dim+1 objective calls per
+    gradient, qnewton.py:513-514)."""
+    def grad(xs, key):
+        k = xs.shape[0]
+        eye = jnp.eye(dim, dtype=xs.dtype)
+        probes = jnp.concatenate(
+            [xs[:, None, :], xs[:, None, :] + eps * eye[None, :, :]],
+            axis=1)                                   # (K, d+1, d)
+        fs, cs = infid_batch_fn(probes.reshape(k * (dim + 1), dim), key)
+        fs = fs.reshape(k, dim + 1)
+        cs = cs.reshape(k, dim + 1)
+        f0 = fs[:, 0]
+        g = (fs[:, 1:] - f0[:, None]) / eps
+        return f0, g, jnp.sum(cs, axis=1).astype(jnp.int32)
     return grad
 
 

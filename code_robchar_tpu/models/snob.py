@@ -49,15 +49,17 @@ _GROW = 1.03     # growth on success
 _R0 = 0.28       # initial trust radius (fraction of the box span)
 
 
-def _snob_restart(x0, key, infid, lower, upper, budget):
-    d = x0.shape[0]
+def _snob_restarts_batched(x0s, key, infid_b, lower, upper, budget):
+    """ALL restarts advance in lockstep; every round's K*Q candidates are
+    ONE lanes objective batch (objectives.make_infidelity_batch)."""
+    k, d = x0s.shape
     rounds = budget // _Q
     span = upper - lower
 
     key, k0 = jax.random.split(key)
-    f0, c0 = infid(x0, k0)
-    mem_x0 = jnp.zeros((_Q, d), x0.dtype) + x0
-    mem_f0 = jnp.zeros((_Q,), f0.dtype) + f0
+    f0, c0 = infid_b(x0s, k0)
+    mem_x0 = jnp.zeros((k, _Q, d), x0s.dtype) + x0s[:, None, :]
+    mem_f0 = jnp.zeros((k, _Q), f0.dtype) + f0[:, None]
 
     def round_body(r, carry):
         best_x, best_f, radius, nfev, key, mem_x, mem_f = carry
@@ -66,25 +68,40 @@ def _snob_restart(x0, key, infid, lower, upper, budget):
         # class-1/2 model point: linear least-squares gradient of the
         # previous round's SCATTERED evaluations (SNOBFIT neighbor-fit
         # analogue — deliberately noisy, no clean finite differences)
-        g, *_unused = jnp.linalg.lstsq(mem_x - best_x, mem_f - best_f)
-        model_pt = best_x - radius * g / (jnp.linalg.norm(g) + 1e-12)
+        dx = mem_x - best_x[:, None, :]
+        df = mem_f - best_f[:, None]
+        # least squares via batched normal equations (a vmapped SVD lstsq
+        # dominates the round on TPU); tiny Tikhonov term for rank safety
+        ata = jnp.einsum("kqa,kqb->kab", dx, dx)
+        ata = ata + 1e-9 * jnp.eye(d, dtype=dx.dtype)[None]
+        atb = jnp.einsum("kqa,kq->ka", dx, df)
+        g = jnp.linalg.solve(ata, atb[..., None])[..., 0]
+        gn = jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-12
+        model_pt = best_x - radius * g / gn
 
-        jit = best_x + radius * jax.random.normal(kg, (_N_JIT, d), x0.dtype)
-        exp = lower + span * jax.random.uniform(ku, (_N_EXP, d), x0.dtype)
-        cands = jnp.clip(jnp.concatenate([model_pt[None], jit, exp]),
-                         lower, upper)
-        fs, cs = jax.vmap(infid)(cands, jax.random.split(kc, _Q))
-        nfev = (nfev + jnp.sum(cs)).astype(jnp.int32)
+        jit = best_x[:, None, :] + radius[:, None, :] * \
+            jax.random.normal(kg, (k, _N_JIT, d), x0s.dtype)
+        exp = lower + span * jax.random.uniform(ku, (k, _N_EXP, d),
+                                                x0s.dtype)
+        cands = jnp.clip(jnp.concatenate(
+            [model_pt[:, None, :], jit, exp], axis=1), lower, upper)
+        fs, cs = infid_b(cands.reshape(k * _Q, d), kc)
+        fs = fs.reshape(k, _Q)
+        nfev = (nfev + jnp.sum(cs.reshape(k, _Q), axis=1)).astype(jnp.int32)
 
-        i = jnp.argmin(fs)
-        improved = fs[i] < best_f
-        best_x = jnp.where(improved, cands[i], best_x)
-        best_f = jnp.where(improved, fs[i], best_f)
-        radius = jnp.where(improved, jnp.minimum(radius * _GROW, span),
+        i = jnp.argmin(fs, axis=1)
+        fi = jnp.take_along_axis(fs, i[:, None], axis=1)[:, 0]
+        xi = jnp.take_along_axis(cands, i[:, None, None], axis=1)[:, 0]
+        improved = fi < best_f
+        best_x = jnp.where(improved[:, None], xi, best_x)
+        best_f = jnp.where(improved, fi, best_f)
+        radius = jnp.where(improved[:, None],
+                           jnp.minimum(radius * _GROW, span),
                            jnp.maximum(radius * _SHRINK, 1e-6 * span))
         return best_x, best_f, radius, nfev, key, cands, fs
 
-    init = (x0, f0, _R0 * span, c0.astype(jnp.int32), key, mem_x0, mem_f0)
+    init = (x0s, f0, jnp.broadcast_to(_R0 * span, x0s.shape),
+            c0.astype(jnp.int32), key, mem_x0, mem_f0)
     out = jax.lax.fori_loop(0, rounds, round_body, init)
     return out[0], out[1], out[3]
 
@@ -101,7 +118,7 @@ class SNOB(ControlOptimizer):
 
     def _build_batch_fn(self):
         spec = self.spec()
-        infid = objectives.make_infidelity(spec)
+        infid_b = objectives.make_infidelity_batch(spec)
         lower, upper = self._lower, self._upper
         budget = self.budget
         h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
@@ -112,24 +129,24 @@ class SNOB(ControlOptimizer):
 
         @jax.jit
         def run_batch(x0s, keys):
-            def one(x0, key):
-                x, f, nfev = _snob_restart(x0, key, infid, lower, upper,
-                                           budget)
-                if spec.fixed_hams is not None:
-                    fid = true = 1.0 - f  # qnewton.py:842-844
-                else:
-                    # rank by SNOBFIT's reported optimum 1 - optval = the
-                    # min over the noisy history (qnewton.py:836-838) —
-                    # NOT a fresh draw; true_fid is the clean recompute
-                    # (qnewton.py:845-848)
-                    fid = 1.0 - f
-                    true = fidelity_from_controller_sym(h0, x, in_spin, out_spin)
-                billed = (nfev if flat_bill is None
-                          else jnp.asarray(flat_bill, jnp.int32))
-                return x, fid, true, billed, jnp.asarray(0, jnp.int32)
-
-            xs, fids, trues, nfev, nit = jax.vmap(one)(x0s, keys)
-            return BatchResult(xs, fids, trues, nfev, nit)
+            k = x0s.shape[0]
+            xs, f, nfev = _snob_restarts_batched(x0s, keys[0], infid_b,
+                                                 lower, upper, budget)
+            if spec.fixed_hams is not None:
+                fids = trues = 1.0 - f  # qnewton.py:842-844
+            else:
+                # rank by SNOBFIT's reported optimum 1 - optval = the min
+                # over the noisy history (qnewton.py:836-838) — NOT a
+                # fresh draw; true_fid is the clean recompute
+                # (qnewton.py:845-848)
+                fids = 1.0 - f
+                trues = jax.vmap(
+                    lambda x: fidelity_from_controller_sym(
+                        h0, x, in_spin, out_spin))(xs)
+            billed = (nfev if flat_bill is None
+                      else jnp.full((k,), flat_bill, jnp.int32))
+            return BatchResult(xs, fids, trues, billed,
+                               jnp.zeros(k, jnp.int32))
 
         return run_batch
 

@@ -259,10 +259,176 @@ def make_sym_amp_kernel(n: int, in_spin: int, out_spin: int,
     return run
 
 
+def make_sym_grad_kernel(n: int, in_spin: int, out_spin: int,
+                         sweeps: int, tile: int = DEFAULT_TILE,
+                         interpret: bool = False):
+    """REAL symmetric exact-gradient kernel: (a (n*n, B), t (1, B)) ->
+    (err (1, B), grad (n+1, B)).
+
+    One kernel launch computes, for every lane: the full-V Jacobi
+    eigendecomposition, the transfer infidelity, and the Daleckii-Krein
+    gradient w.r.t. the n diagonal biases and the readout time — the
+    optimizer zoo's entire objective+gradient evaluation fused into a
+    single launch.  Same formulation as
+    realform.infidelity_and_gradient_sym_lanes (parity pinned in
+    tests/test_pallas.py via interpret mode).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    eps = 1e-7
+    deg_eps = 1e-9
+
+    def kernel(a_in, t_in, err_out, grad_out, a, v):
+        a[:, :] = a_in[:, :]
+        b = t_in.shape[-1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n * n, b), 0)
+        # identity: V[r, k] lives at sublane r*n+k
+        sel = (rows % (n + 1)) == 0
+        v[:, :] = jnp.where(sel, 1.0, 0.0).astype(a_in.dtype)
+
+        for _ in range(sweeps):
+            for p in range(n - 1):
+                for q in range(p + 1, n):
+                    app = a[p * n + p, :]
+                    aqq = a[q * n + q, :]
+                    apq = a[p * n + q, :]
+                    r = jnp.abs(apq)
+                    active = r > eps * (jnp.abs(app) + jnp.abs(aqq) + r)
+                    safe = jnp.where(active, apq, 1.0)
+                    tau = (aqq - app) / (2.0 * safe)
+                    tt = jnp.sign(tau) / (jnp.abs(tau) +
+                                          jnp.sqrt(1.0 + tau * tau))
+                    tt = jnp.where(tau == 0.0, 1.0, tt)
+                    c = 1.0 / jnp.sqrt(1.0 + tt * tt)
+                    s = tt * c
+                    c = jnp.where(active, c, 1.0)
+                    s = jnp.where(active, s, 0.0)
+
+                    for i in range(n):       # columns p, q of A
+                        cp = a[i * n + p, :]
+                        cq = a[i * n + q, :]
+                        a[i * n + p, :] = c * cp - s * cq
+                        a[i * n + q, :] = s * cp + c * cq
+                    rp = a[p * n:(p + 1) * n, :]
+                    rq = a[q * n:(q + 1) * n, :]
+                    a[p * n:(p + 1) * n, :] = c * rp - s * rq
+                    a[q * n:(q + 1) * n, :] = s * rp + c * rq
+                    for rr in range(n):      # ALL carried V rows
+                        wp = v[rr * n + p, :]
+                        wq = v[rr * n + q, :]
+                        v[rr * n + p, :] = c * wp - s * wq
+                        v[rr * n + q, :] = s * wp + c * wq
+
+        t = t_in[0, :]
+        lam = [a[k * n + k, :] for k in range(n)]
+        fr = [jnp.cos(lam[k] * t) for k in range(n)]
+        fi = [-jnp.sin(lam[k] * t) for k in range(n)]
+        v_out = [v[out_spin * n + k, :] for k in range(n)]
+        v_in = [v[in_spin * n + k, :] for k in range(n)]
+        w = [v_out[k] * v_in[k] for k in range(n)]
+
+        phr = w[0] * fr[0]
+        phi = w[0] * fi[0]
+        for k in range(1, n):
+            phr = phr + w[k] * fr[k]
+            phi = phi + w[k] * fi[k]
+        err_out[0, :] = 1.0 - (phr * phr + phi * phi)
+
+        # Daleckii-Krein gamma entries on the fly
+        def gamma(j, k):
+            dl = lam[j] - lam[k]
+            near = jnp.abs(dl) < deg_eps
+            safe = jnp.where(near, 1.0, dl)
+            gr = (fr[j] - fr[k]) / safe
+            gi = (fi[j] - fi[k]) / safe
+            ang = 0.5 * (lam[j] + lam[k]) * t
+            return (jnp.where(near, -t * jnp.sin(ang), gr),
+                    jnp.where(near, -t * jnp.cos(ang), gi))
+
+        g_cache = [[gamma(j, k) for k in range(n)] for j in range(n)]
+
+        for l in range(n):
+            vl = [v[l * n + k, :] for k in range(n)]
+            dphr = None
+            dphi = None
+            for j in range(n):
+                a_lj = v_out[j] * vl[j]
+                sr = None
+                si = None
+                for k in range(n):
+                    b_lk = vl[k] * v_in[k]
+                    gr_jk, gi_jk = g_cache[j][k]
+                    tr = gr_jk * b_lk
+                    ti = gi_jk * b_lk
+                    sr = tr if sr is None else sr + tr
+                    si = ti if si is None else si + ti
+                dphr = a_lj * sr if dphr is None else dphr + a_lj * sr
+                dphi = a_lj * si if dphi is None else dphi + a_lj * si
+            grad_out[l, :] = -2.0 * (dphr * phr + dphi * phi)
+
+        hur = lam[0] * w[0] * fr[0]
+        hui = lam[0] * w[0] * fi[0]
+        for k in range(1, n):
+            hur = hur + lam[k] * w[k] * fr[k]
+            hui = hui + lam[k] * w[k] * fi[k]
+        grad_out[n, :] = -2.0 * (hui * phr - hur * phi)
+
+    nn = n * n
+
+    @jax.jit
+    def run(a, t):
+        b = a.shape[-1]
+        grid = (b // tile,)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((nn, tile), lambda i: (0, i)),
+                pl.BlockSpec((1, tile), lambda i: (0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile), lambda i: (0, i)),
+                pl.BlockSpec((n + 1, tile), lambda i: (0, i)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, b), a.dtype),
+                jax.ShapeDtypeStruct((n + 1, b), a.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nn, tile), a.dtype),
+                pltpu.VMEM((nn, tile), a.dtype),
+            ],
+            interpret=interpret,
+        )(a, t.reshape(1, b))
+
+    return run
+
+
 from functools import lru_cache
 
 _kernel_cache = lru_cache(maxsize=64)(make_fidelity_kernel)
 _sym_kernel_cache = lru_cache(maxsize=64)(make_sym_amp_kernel)
+_sym_grad_cache = lru_cache(maxsize=64)(make_sym_grad_kernel)
+
+
+def infidelity_and_gradient_sym_pallas(h0, xs, in_spin: int, out_spin: int,
+                                       sweeps: int = 6,
+                                       tile: int = DEFAULT_TILE,
+                                       interpret: bool = False):
+    """Batched exact (infidelity, gradient): h0 (n, n), xs (B, n+1) ->
+    (err (B,), grad (B, n+1)) via the fused Pallas kernel.  B must be a
+    multiple of ``tile``."""
+    n = h0.shape[-1]
+    b = xs.shape[0]
+    dt = h0.dtype
+    a = jnp.broadcast_to(h0[:, :, None], (n, n, b)).astype(dt)
+    for i in range(n):
+        a = a.at[i, i].add(xs[:, i].astype(dt))
+    t = jnp.abs(xs[:, n]).astype(dt)
+    run = _sym_grad_cache(n, in_spin, out_spin, sweeps, tile, interpret)
+    err, grad = run(a.reshape(n * n, b), t)
+    return err[0], grad.T
 
 
 def transfer_amp_sym_pallas(a: jnp.ndarray, t: jnp.ndarray, in_spin: int,

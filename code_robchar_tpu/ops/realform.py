@@ -491,6 +491,95 @@ def fidelity_sym_lanes(a: jnp.ndarray, t: jnp.ndarray, in_spin: int,
     return phr * phr + phi * phi
 
 
+def jacobi_eigh_sym_lanes(a: jnp.ndarray, sweeps: int | None = None
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full eigendecomposition in lanes layout: a (n, n, B) real symmetric
+    -> (lam (n, B) UNSORTED, v (n, n, B)) with v[r, k] = V[r, k] (the
+    r-th component of eigenvector k), A = V diag(lam) V^T.
+
+    The full eigenvector matrix rides as n carried rows — needed by the
+    exact-gradient kernel (every row enters the Daleckii-Krein
+    contraction), unlike the fidelity kernels which carry only two."""
+    n = a.shape[0]
+    b = a.shape[-1]
+    if sweeps is None:
+        sweeps = _sweeps_for(a.dtype, n)
+    eps = _eps_for(a.dtype)
+
+    v = jnp.zeros((n, n, b), a.dtype)
+    for i in range(n):
+        v = v.at[i, i].set(1.0)
+    v = v + 0.0 * a[:1, :1]
+
+    def sweep(_, carry):
+        a, v = carry
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                a, v = _sym_rotate_lanes(a, v, p, q, eps)
+        return a, v
+
+    a, v = jax.lax.fori_loop(0, sweeps, sweep, (a, v))
+    lam = jnp.stack([a[i, i] for i in range(n)])
+    return lam, v
+
+
+def infidelity_and_gradient_sym_lanes(h0: jnp.ndarray, xs: jnp.ndarray,
+                                      in_spin: int, out_spin: int,
+                                      sweeps: int | None = None):
+    """Batched exact (infidelity, gradient) in lanes layout.
+
+    h0 (n, n) real-symmetric drift, xs (B, n+1) controllers ->
+    (err (B,), grad (B, n+1)).  Same Daleckii-Krein formulation as
+    ``infidelity_and_gradient_sym`` (value parity <=1e-10 at f64,
+    tests/test_realform.py) but the whole batch rides the lane dimension
+    through ONE Jacobi chain — the optimizer-zoo hot path."""
+    n = h0.shape[-1]
+    b = xs.shape[0]
+    dt = h0.dtype
+    biases = xs[:, :n].astype(dt)
+    t = jnp.abs(xs[:, n]).astype(dt)                     # (B,)
+
+    a = jnp.broadcast_to(h0[:, :, None], (n, n, b)).astype(dt)
+    for i in range(n):
+        a = a.at[i, i].add(biases[:, i])
+    lam, v = jacobi_eigh_sym_lanes(a, sweeps)            # (n,B), (n,n,B)
+
+    v_out = v[out_spin]                                  # (n, B)
+    v_in = v[in_spin]
+    w = v_out * v_in
+    ang = lam * t[None, :]
+    fr, fi = jnp.cos(ang), -jnp.sin(ang)                 # (n, B)
+    phr = jnp.sum(w * fr, axis=0)
+    phi = jnp.sum(w * fi, axis=0)
+    err = 1.0 - (phr * phr + phi * phi)
+
+    # split Daleckii-Krein matrix, lanes layout: (n, n, B)
+    dl = lam[:, None, :] - lam[None, :, :]
+    near = jnp.abs(dl) < _DEG_EPS
+    safe = jnp.where(near, 1.0, dl)
+    gr = (fr[:, None, :] - fr[None, :, :]) / safe
+    gi = (fi[:, None, :] - fi[None, :, :]) / safe
+    mid = 0.5 * (lam[:, None, :] + lam[None, :, :])
+    mang = mid * t[None, None, :]
+    gr = jnp.where(near, -t[None, None, :] * jnp.sin(mang), gr)
+    gi = jnp.where(near, -t[None, None, :] * jnp.cos(mang), gi)
+
+    # A[l,j] = V[out,j] V[l,j]; B[l,k] = V[l,k] V[in,k]; contraction over
+    # (j, k) with the batch in the last axis
+    a_lj = v_out[None, :, :] * v                         # (l, j, B)
+    b_lk = v * v_in[None, :, :]                          # (l, k, B)
+    dphr = jnp.einsum("ljb,jkb,lkb->lb", a_lj, gr, b_lk)
+    dphi = jnp.einsum("ljb,jkb,lkb->lb", a_lj, gi, b_lk)
+    grad_bias = -2.0 * (dphr * phr[None, :] + dphi * phi[None, :])
+
+    hur = jnp.sum(lam * w * fr, axis=0)
+    hui = jnp.sum(lam * w * fi, axis=0)
+    grad_t = -2.0 * (hui * phr - hur * phi)
+
+    grad = jnp.concatenate([grad_bias.T, grad_t[:, None]], axis=1)
+    return err, grad
+
+
 def fidelity_herm_lanes(ar: jnp.ndarray, ai: jnp.ndarray, t: jnp.ndarray,
                         in_spin: int, out_spin: int,
                         sweeps: int | None = None) -> jnp.ndarray:

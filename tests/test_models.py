@@ -222,3 +222,28 @@ def test_nm_stagnation_restart_fires():
         fatol=0.0, xatol=0.0, stagnation_restart=True, improv_thres=0.0)
     np.testing.assert_array_equal(np.asarray(x3), np.asarray(x))
     assert int(nfev3) == int(nfev_plain) and int(nit3) == int(nit_plain)
+
+
+def test_adam_restart_table_is_per_stream():
+    """Regression: each stream must read ITS OWN Sobol table column at ITS
+    OWN pointer — distinct pointers => distinct candidates."""
+    import jax
+    import jax.numpy as jnp
+
+    opt = Adam(4, 0, 2, repeats=10**9, fid_threshold=0.0, testing=True,
+               run_until_told_to_stop=True, run_until_completion_its=1000,
+               landscape_exploration=True, save_topc=8, restart_batch=4)
+    fns = opt._build_segments(4)
+    w0 = jnp.asarray(opt.init_points(4))
+    z = jnp.zeros((4, 5))
+    it0 = jnp.zeros(4, jnp.int32)
+    # DIFFERENT starting pointers per stream
+    ptr0 = jnp.asarray([0, 3, 7, 11], jnp.int32)
+    keys = jax.random.split(jax.random.key(0), 4)
+    out = fns[1](w0, z, z, it0, ptr0, keys)
+    w, m, v, it, ptr, fid, true, calls, nit, cf, cx = out
+    # pointers advanced from their own bases
+    assert (np.asarray(ptr) > np.asarray(ptr0)).all()
+    # the post-restart trajectories must all differ (distinct candidates)
+    arr = np.asarray(w).round(10)
+    assert np.unique(arr, axis=0).shape[0] == 4

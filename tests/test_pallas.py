@@ -21,3 +21,26 @@ def test_pallas_matches_lanes_interpret(rng):
     out = fidelity_herm_pallas(ar, ai, t, 0, 2, sweeps=6, tile=128,
                                interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_sym_grad_matches_lanes_interpret(rng):
+    """The fused gradient kernel must match the XLA lanes gradient
+    (which itself matches the rows path at 1e-10)."""
+    from code_robchar_tpu.ops import realform
+    from code_robchar_tpu.ops.pallas_jacobi import \
+        infidelity_and_gradient_sym_pallas
+
+    n, b = 5, 8
+    h0 = np.asarray(rng.normal(size=(n, n)))
+    h0 = jnp.asarray((h0 + h0.T) / 2, dtype=jnp.float32)
+    xs = jnp.asarray(np.column_stack(
+        [rng.uniform(-5, 5, (b, n)), rng.uniform(0.5, 20, b)]
+    ).astype(np.float32))
+    want_e, want_g = realform.infidelity_and_gradient_sym_lanes(
+        h0, xs, 0, 3, sweeps=6)
+    got_e, got_g = infidelity_and_gradient_sym_pallas(
+        h0, xs, 0, 3, sweeps=6, tile=b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               atol=2e-5, rtol=1e-4)

@@ -120,3 +120,37 @@ def test_fidelity_sym_lanes_matches_rows(rng):
     got = np.asarray(realform.fidelity_sym_lanes(
         jnp.asarray(a.transpose(1, 2, 0)), jnp.asarray(t), 0, 3))
     np.testing.assert_allclose(got, want, atol=1e-11, rtol=0)
+
+
+def test_gradient_sym_lanes_matches_rows(rng):
+    """The lanes exact-gradient kernel (optimizer-zoo hot path) must agree
+    with the rows-path Daleckii-Krein gradient to <=1e-10."""
+    from code_robchar_tpu.ops import realform
+    n, b = 5, 9
+    h0 = jnp.asarray(np.asarray(
+        rng.normal(size=(n, n))), dtype=jnp.float64)
+    h0 = (h0 + h0.T) / 2
+    xs = jnp.asarray(np.column_stack([rng.uniform(-5, 5, (b, n)),
+                                      rng.uniform(0.5, 20, b)]))
+    err_l, grad_l = realform.infidelity_and_gradient_sym_lanes(h0, xs, 0, 3)
+    for i in range(b):
+        err_r, grad_r = realform.infidelity_and_gradient_sym(h0, xs[i], 0, 3)
+        np.testing.assert_allclose(float(err_l[i]), float(err_r),
+                                   atol=1e-10, rtol=0)
+        np.testing.assert_allclose(np.asarray(grad_l[i]),
+                                   np.asarray(grad_r), atol=1e-10, rtol=0)
+
+
+def test_gradient_sym_lanes_negative_time(rng):
+    """T = |x[n]| contract: gradient w.r.t. raw x[n] uses |t| like the
+    rows path (both differentiate through the abs the same way)."""
+    from code_robchar_tpu.ops import realform
+    n = 4
+    h0 = jnp.asarray(np.diag(np.zeros(n)) + np.eye(n, k=1) + np.eye(n, k=-1))
+    x = np.array([1.0, -2.0, 0.5, 3.0, -7.0])
+    err_l, grad_l = realform.infidelity_and_gradient_sym_lanes(
+        h0, jnp.asarray(x)[None], 0, 2)
+    err_r, grad_r = realform.infidelity_and_gradient_sym(
+        h0, jnp.asarray(x), 0, 2)
+    np.testing.assert_allclose(np.asarray(grad_l[0]), np.asarray(grad_r),
+                               atol=1e-10, rtol=0)
