@@ -34,6 +34,14 @@ def _rotation_body(n, sweeps, ar, ai, vr, vi, eps):
     """Unrolled Jacobi schedule on VMEM refs.
 
     ar/ai: (n*n, T) refs; vr/vi: (2*n, T) refs holding rows [in, out].
+
+    Symmetric update: only the column pair (A J) is rotated; rows p, q
+    are conjugate mirrors (A'[p,i] = conj(A'[i,p]) — a store + negate per
+    entry instead of a second complex rotation), and the 2x2 pivot block
+    is closed-form (A'[p,q] = 0 exactly, A'[p,p] = app - t|apq|,
+    A'[q,q] = aqq + t|apq|, Rutishauser).  ~2/3 the arithmetic of the
+    two-sided update; the imaginary diagonal stays exactly zero.  Same
+    formulation as realform._herm_rotate_lanes.
     """
     def cmul(xr, xi, yr, yi):
         return xr * yr - xi * yi, xr * yi + xi * yr
@@ -58,33 +66,42 @@ def _rotation_body(n, sweeps, ar, ai, vr, vi, eps):
                 s = t * c
                 c = jnp.where(active, c, 1.0)
                 s = jnp.where(active, s, 0.0)
+                t_eff = jnp.where(active, t, 0.0)
 
-                # columns p, q of A (sublanes i*n+p / i*n+q, i = 0..n-1)
+                # columns p, q of A at rows i not in {p, q}, mirrored
+                # into rows p, q by conjugation
                 for i in range(n):
+                    if i == p or i == q:
+                        continue
                     cpr = ar[i * n + p, :]
                     cpi = ai[i * n + p, :]
                     cqr = ar[i * n + q, :]
                     cqi = ai[i * n + q, :]
                     tr, ti = cmul(pr, -pi_, cqr, cqi)
-                    ar[i * n + p, :] = c * cpr - s * tr
-                    ai[i * n + p, :] = c * cpi - s * ti
+                    npr_ = c * cpr - s * tr
+                    npi_ = c * cpi - s * ti
+                    ar[i * n + p, :] = npr_
+                    ai[i * n + p, :] = npi_
+                    ar[p * n + i, :] = npr_
+                    ai[p * n + i, :] = -npi_
                     tr, ti = cmul(pr, pi_, cpr, cpi)
-                    ar[i * n + q, :] = s * tr + c * cqr
-                    ai[i * n + q, :] = s * ti + c * cqi
+                    nqr_ = s * tr + c * cqr
+                    nqi_ = s * ti + c * cqi
+                    ar[i * n + q, :] = nqr_
+                    ai[i * n + q, :] = nqi_
+                    ar[q * n + i, :] = nqr_
+                    ai[q * n + i, :] = -nqi_
 
-                # rows p, q of A (contiguous sublane runs)
-                rpr = ar[p * n:(p + 1) * n, :]
-                rpi = ai[p * n:(p + 1) * n, :]
-                rqr = ar[q * n:(q + 1) * n, :]
-                rqi = ai[q * n:(q + 1) * n, :]
-                tr, ti = cmul(pr, pi_, rqr, rqi)
-                nrp_r = c * rpr - s * tr
-                nrp_i = c * rpi - s * ti
-                tr, ti = cmul(pr, -pi_, rpr, rpi)
-                ar[q * n:(q + 1) * n, :] = s * tr + c * rqr
-                ai[q * n:(q + 1) * n, :] = s * ti + c * rqi
-                ar[p * n:(p + 1) * n, :] = nrp_r
-                ai[p * n:(p + 1) * n, :] = nrp_i
+                # closed-form pivot block
+                zr = jnp.where(active, 0.0, xr)
+                zi = jnp.where(active, 0.0, xi)
+                ar[p * n + p, :] = app - t_eff * r
+                ar[q * n + q, :] = aqq + t_eff * r
+                ar[p * n + q, :] = zr
+                ar[q * n + p, :] = zr
+                ai[p * n + q, :] = zi
+                ai[q * n + p, :] = -zi
+                # ai diagonal entries start at zero and are never written
 
                 # carried V rows (2 rows x n columns)
                 for rrow in range(2):
@@ -207,16 +224,26 @@ def make_sym_amp_kernel(n: int, in_spin: int, out_spin: int,
                     s = t * c
                     c = jnp.where(active, c, 1.0)
                     s = jnp.where(active, s, 0.0)
+                    t_eff = jnp.where(active, t, 0.0)
 
-                    for i in range(n):       # columns p, q
+                    # columns p, q at rows i not in {p, q}, mirrored into
+                    # rows p, q by symmetry; closed-form pivot block
+                    for i in range(n):
+                        if i == p or i == q:
+                            continue
                         cp = a[i * n + p, :]
                         cq = a[i * n + q, :]
-                        a[i * n + p, :] = c * cp - s * cq
-                        a[i * n + q, :] = s * cp + c * cq
-                    rp = a[p * n:(p + 1) * n, :]   # rows p, q
-                    rq = a[q * n:(q + 1) * n, :]
-                    a[p * n:(p + 1) * n, :] = c * rp - s * rq
-                    a[q * n:(q + 1) * n, :] = s * rp + c * rq
+                        ncp = c * cp - s * cq
+                        ncq = s * cp + c * cq
+                        a[i * n + p, :] = ncp
+                        a[p * n + i, :] = ncp
+                        a[i * n + q, :] = ncq
+                        a[q * n + i, :] = ncq
+                    z = jnp.where(active, 0.0, apq)
+                    a[p * n + p, :] = app - t_eff * apq
+                    a[q * n + q, :] = aqq + t_eff * apq
+                    a[p * n + q, :] = z
+                    a[q * n + p, :] = z
                     for rr in range(2):      # carried V rows
                         wp = v[rr * n + p, :]
                         wq = v[rr * n + q, :]
@@ -304,16 +331,26 @@ def make_sym_grad_kernel(n: int, in_spin: int, out_spin: int,
                     s = tt * c
                     c = jnp.where(active, c, 1.0)
                     s = jnp.where(active, s, 0.0)
+                    tt_eff = jnp.where(active, tt, 0.0)
 
-                    for i in range(n):       # columns p, q of A
+                    # columns p, q at rows i not in {p, q}, mirrored into
+                    # rows p, q by symmetry; closed-form pivot block
+                    for i in range(n):
+                        if i == p or i == q:
+                            continue
                         cp = a[i * n + p, :]
                         cq = a[i * n + q, :]
-                        a[i * n + p, :] = c * cp - s * cq
-                        a[i * n + q, :] = s * cp + c * cq
-                    rp = a[p * n:(p + 1) * n, :]
-                    rq = a[q * n:(q + 1) * n, :]
-                    a[p * n:(p + 1) * n, :] = c * rp - s * rq
-                    a[q * n:(q + 1) * n, :] = s * rp + c * rq
+                        ncp = c * cp - s * cq
+                        ncq = s * cp + c * cq
+                        a[i * n + p, :] = ncp
+                        a[p * n + i, :] = ncp
+                        a[i * n + q, :] = ncq
+                        a[q * n + i, :] = ncq
+                    z = jnp.where(active, 0.0, apq)
+                    a[p * n + p, :] = app - tt_eff * apq
+                    a[q * n + q, :] = aqq + tt_eff * apq
+                    a[p * n + q, :] = z
+                    a[q * n + p, :] = z
                     for rr in range(n):      # ALL carried V rows
                         wp = v[rr * n + p, :]
                         wq = v[rr * n + q, :]
