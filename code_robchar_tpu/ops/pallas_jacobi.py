@@ -444,13 +444,15 @@ def make_sym_grad_kernel(n: int, in_spin: int, out_spin: int,
 
 from functools import lru_cache
 
+from code_robchar_tpu.ops.realform import _sweeps_for
+
 _kernel_cache = lru_cache(maxsize=64)(make_fidelity_kernel)
 _sym_kernel_cache = lru_cache(maxsize=64)(make_sym_amp_kernel)
 _sym_grad_cache = lru_cache(maxsize=64)(make_sym_grad_kernel)
 
 
 def infidelity_and_gradient_sym_pallas(h0, xs, in_spin: int, out_spin: int,
-                                       sweeps: int = 6,
+                                       sweeps: int | None = None,
                                        tile: int = DEFAULT_TILE,
                                        interpret: bool = False):
     """Batched exact (infidelity, gradient): h0 (n, n), xs (B, n+1) ->
@@ -463,13 +465,15 @@ def infidelity_and_gradient_sym_pallas(h0, xs, in_spin: int, out_spin: int,
     for i in range(n):
         a = a.at[i, i].add(xs[:, i].astype(dt))
     t = jnp.abs(xs[:, n]).astype(dt)
+    if sweeps is None:
+        sweeps = _sweeps_for(dt, n)
     run = _sym_grad_cache(n, in_spin, out_spin, sweeps, tile, interpret)
     err, grad = run(a.reshape(n * n, b), t)
     return err[0], grad.T
 
 
 def transfer_amp_sym_pallas(a: jnp.ndarray, t: jnp.ndarray, in_spin: int,
-                            out_spin: int, sweeps: int = 6,
+                            out_spin: int, sweeps: int | None = None,
                             tile: int = DEFAULT_TILE,
                             interpret: bool = False):
     """Lanes-layout REAL-symmetric transfer amplitude via the Pallas
@@ -477,13 +481,15 @@ def transfer_amp_sym_pallas(a: jnp.ndarray, t: jnp.ndarray, in_spin: int,
     multiple of ``tile``."""
     n = a.shape[0]
     b = a.shape[-1]
+    if sweeps is None:
+        sweeps = _sweeps_for(a.dtype, n)
     run = _sym_kernel_cache(n, in_spin, out_spin, sweeps, tile, interpret)
     amp = run(a.reshape(n * n, b), t)
     return amp[0], amp[1]
 
 
 def fidelity_sym_pallas(a: jnp.ndarray, t: jnp.ndarray, in_spin: int,
-                        out_spin: int, sweeps: int = 6,
+                        out_spin: int, sweeps: int | None = None,
                         tile: int = DEFAULT_TILE,
                         interpret: bool = False) -> jnp.ndarray:
     phr, phi = transfer_amp_sym_pallas(a, t, in_spin, out_spin, sweeps,
@@ -492,7 +498,8 @@ def fidelity_sym_pallas(a: jnp.ndarray, t: jnp.ndarray, in_spin: int,
 
 
 def fidelity_herm_pallas(ar: jnp.ndarray, ai: jnp.ndarray, t: jnp.ndarray,
-                         in_spin: int, out_spin: int, sweeps: int = 6,
+                         in_spin: int, out_spin: int,
+                         sweeps: int | None = None,
                          tile: int = DEFAULT_TILE,
                          interpret: bool = False) -> jnp.ndarray:
     """Lanes-layout fidelity via the Pallas kernel.
@@ -502,6 +509,8 @@ def fidelity_herm_pallas(ar: jnp.ndarray, ai: jnp.ndarray, t: jnp.ndarray,
     """
     n = ar.shape[0]
     b = ar.shape[-1]
+    if sweeps is None:
+        sweeps = _sweeps_for(ar.dtype, n)
     run = _kernel_cache(n, in_spin, out_spin, sweeps, tile, interpret)
     fid = run(ar.reshape(n * n, b), ai.reshape(n * n, b), t)
     return fid.reshape(b)

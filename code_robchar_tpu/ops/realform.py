@@ -36,8 +36,12 @@ _DEG_EPS = 1e-9
 
 
 def _sweeps_for(dtype, n) -> int:
+    # Cyclic Jacobi is quadratically convergent: at f32 five sweeps reach
+    # the rounding floor for n <= 10 on every workload class measured
+    # (bench-like, near-zero bias, exact ring degeneracies); +2 margin is
+    # kept for off-paper n > 8.
     bits = jnp.finfo(dtype).bits
-    return (6 if bits <= 32 else 9) + (2 if n > 8 else 0)
+    return (5 if bits <= 32 else 9) + (2 if n > 8 else 0)
 
 
 def _eps_for(dtype) -> float:
@@ -48,7 +52,10 @@ def _eps_for(dtype) -> float:
 # real symmetric Jacobi
 # --------------------------------------------------------------------------
 
-def _sym_rotation(app, aqq, apq, eps):
+def _sym_rotate(a, v, p, q, eps):
+    """Symmetric update (same algebra as _sym_rotate_lanes): rotate the
+    column pair, mirror into rows p, q, closed-form 2x2 pivot block."""
+    app, aqq, apq = a[..., p, p], a[..., q, q], a[..., p, q]
     r = jnp.abs(apq)
     active = r > eps * (jnp.abs(app) + jnp.abs(aqq) + r)
     safe = jnp.where(active, apq, 1.0)
@@ -57,19 +64,22 @@ def _sym_rotation(app, aqq, apq, eps):
     t = jnp.where(tau == 0.0, 1.0, t)
     c = 1.0 / jnp.sqrt(1.0 + t * t)
     s = t * c
-    return jnp.where(active, c, 1.0), jnp.where(active, s, 0.0)
+    c = jnp.where(active, c, 1.0)[..., None]
+    s = jnp.where(active, s, 0.0)[..., None]
+    t_eff = jnp.where(active, t, 0.0)
 
-
-def _sym_rotate(a, v, p, q, eps):
-    c, s = _sym_rotation(a[..., p, p], a[..., q, q], a[..., p, q], eps)
-    c = c[..., None]
-    s = s[..., None]
     cp, cq = a[..., :, p], a[..., :, q]
-    a = a.at[..., :, p].set(c * cp - s * cq)
-    a = a.at[..., :, q].set(s * cp + c * cq)
-    rp, rq = a[..., p, :], a[..., q, :]
-    a = a.at[..., p, :].set(c * rp - s * rq)
-    a = a.at[..., q, :].set(s * rp + c * rq)
+    ncp = c * cp - s * cq
+    ncq = s * cp + c * cq
+    a = a.at[..., :, p].set(ncp)
+    a = a.at[..., :, q].set(ncq)
+    npp = app - t_eff * apq
+    nqq = aqq + t_eff * apq
+    z = jnp.where(active, 0.0, apq)
+    row_p = ncp.at[..., p].set(npp).at[..., q].set(z)
+    row_q = ncq.at[..., p].set(z).at[..., q].set(nqq)
+    a = a.at[..., p, :].set(row_p)
+    a = a.at[..., q, :].set(row_q)
     vp, vq = v[..., :, p], v[..., :, q]
     v = v.at[..., :, p].set(c * vp - s * vq)
     v = v.at[..., :, q].set(s * vp + c * vq)
@@ -138,16 +148,20 @@ def _herm_rotate(ar, ai, vr, vi, p, q, eps):
     ar = ar.at[..., :, p].set(npr_).at[..., :, q].set(nqr_)
     ai = ai.at[..., :, p].set(npi_).at[..., :, q].set(nqi_)
 
-    # rows: (J^H A)[p,:] = c A[p,:] - s ph A[q,:]
-    #       (J^H A)[q,:] = s conj(ph) A[p,:] + c A[q,:]
-    rpr, rpi = ar[..., p, :], ai[..., p, :]
-    rqr, rqi = ar[..., q, :], ai[..., q, :]
-    tr, ti = cmul(pr, pi, rqr, rqi)
-    nrp_r, nrp_i = c * rpr - s * tr, c * rpi - s * ti
-    tr, ti = cmul(pr, -pi, rpr, rpi)
-    nrq_r, nrq_i = s * tr + c * rqr, s * ti + c * rqi
-    ar = ar.at[..., p, :].set(nrp_r).at[..., q, :].set(nrq_r)
-    ai = ai.at[..., p, :].set(nrp_i).at[..., q, :].set(nrq_i)
+    # rows p, q by Hermitian symmetry + closed-form pivot block (same
+    # algebra as _herm_rotate_lanes)
+    t_eff = jnp.where(active, t, 0.0)
+    npp = app - t_eff * r
+    nqq = aqq + t_eff * r
+    zr = jnp.where(active, 0.0, xr)
+    zi = jnp.where(active, 0.0, xi)
+    zero = jnp.zeros_like(npp)
+    row_p_r = npr_.at[..., p].set(npp).at[..., q].set(zr)
+    row_p_i = (-npi_).at[..., p].set(zero).at[..., q].set(zi)
+    row_q_r = nqr_.at[..., p].set(zr).at[..., q].set(nqq)
+    row_q_i = (-nqi_).at[..., p].set(-zi).at[..., q].set(zero)
+    ar = ar.at[..., p, :].set(row_p_r).at[..., q, :].set(row_q_r)
+    ai = ai.at[..., p, :].set(row_p_i).at[..., q, :].set(row_q_i)
 
     # V <- V J (column ops)
     wpr, wpi = vr[..., :, p], vi[..., :, p]
