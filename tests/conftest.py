@@ -89,6 +89,7 @@ _SLOW_TESTS = {
     "tests/test_figs.py::test_fig1_cdf_area",
     "tests/test_mc.py::test_sweep_shape_and_zero_noise_determinism",
     "tests/test_realform.py::test_gradient_sym_degenerate_ring",
+    "tests/test_realform.py::test_f32_sweep_policy_converges_on_hard_spectra",
 }
 
 

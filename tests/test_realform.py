@@ -154,3 +154,38 @@ def test_gradient_sym_lanes_negative_time(rng):
         h0, jnp.asarray(x), 0, 2)
     np.testing.assert_allclose(np.asarray(grad_l[0]), np.asarray(grad_r),
                                atol=1e-10, rtol=0)
+
+
+def test_f32_sweep_policy_converges_on_hard_spectra(rng):
+    """Regression guard for the _sweeps_for policy: at float32 the default
+    sweep count must reach the f32 rounding floor (<= 1e-5 fidelity error
+    vs the f64 oracle) on the hardest workload classes — the unbiased XX
+    chain, the ring with exact degeneracies, and near-zero biases with
+    small complex noise — across the paper's T range [0, 30]."""
+    n, b = 7, 64
+    h0 = np.eye(n, k=1) + np.eye(n, k=-1)
+    ring = h0.copy()
+    ring[0, n - 1] = ring[n - 1, 0] = 1.0
+    t = rng.uniform(0.0, 30.0, b)
+
+    for base, bias_scale, nscale in ((h0, 0.0, 0.0), (ring, 0.0, 0.0),
+                                     (h0, 0.01, 0.001)):
+        ar = np.repeat(base[:, :, None], b, axis=2)
+        ar[np.arange(n), np.arange(n)] += rng.uniform(
+            -bias_scale, bias_scale, (n, b))
+        ai = np.zeros((n, n, b))
+        if nscale > 0:
+            nn = rng.normal(scale=nscale, size=(n - 1, b))
+            ar[np.arange(1, n), np.arange(n - 1)] += nn
+            ar[np.arange(n - 1), np.arange(1, n)] += nn
+            nn2 = rng.normal(scale=nscale, size=(n - 1, b))
+            ai[np.arange(1, n), np.arange(n - 1)] += nn2
+            ai[np.arange(n - 1), np.arange(1, n)] -= nn2
+        w, v = np.linalg.eigh((ar + 1j * ai).transpose(2, 0, 1))
+        ph = np.einsum("bk,bk,bk->b", v[:, n - 1, :],
+                       np.exp(-1j * t[:, None] * w), v[:, 0, :].conj())
+        fid64 = np.abs(ph) ** 2
+        got = realform.fidelity_herm_lanes(
+            jnp.asarray(ar, jnp.float32), jnp.asarray(ai, jnp.float32),
+            jnp.asarray(t, jnp.float32), 0, n - 1)
+        assert np.abs(np.asarray(got) - fid64).max() < 1e-5
