@@ -147,11 +147,13 @@ def main():
     ppo_rate = agents * 500 * n_ep / (time.perf_counter() - t0)
 
     # ---- optimizer-zoo restart throughput (batched L-BFGS) -------------
+    # k_rest matches the production regime: paper runs collect 1000
+    # controllers, so restarts batch ~1024 lanes per device dispatch
     from code_robchar_tpu.models import LBFGS
     opt = LBFGS(n, 0, 6, testing=True, fid_threshold=2.0, repeats=10**9,
                 run_until_told_to_stop=True, run_until_completion_its=10**12,
                 landscape_exploration=True, save_topc=64)
-    k_rest = 256
+    k_rest = 1024
     x0s = jnp.asarray(opt.init_points(k_rest))
     keys = jax.random.split(jax.random.key(5), k_rest)
     res = opt._run_batch(x0s, keys)
