@@ -44,3 +44,21 @@ def test_pallas_sym_grad_matches_lanes_interpret(rng):
                                atol=2e-6, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_sym_amp_matches_lanes_interpret(rng):
+    """The RL-rollout amplitude kernel must match the XLA lanes amplitude
+    (the real-symmetric training-path physics)."""
+    from code_robchar_tpu.ops.pallas_jacobi import transfer_amp_sym_pallas
+    n, b = 4, 128
+    a = rng.normal(size=(b, n, n)).astype(np.float32)
+    sym = (a + np.transpose(a, (0, 2, 1))) / 2
+    al = jnp.asarray(np.moveaxis(sym, 0, -1).copy())
+    t = jnp.asarray(rng.uniform(1, 5, b).astype(np.float32))
+    ref_r, ref_i = realform.transfer_amp_sym_lanes(al, t, 0, 2, sweeps=6)
+    got_r, got_i = transfer_amp_sym_pallas(al, t, 0, 2, sweeps=6, tile=128,
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(ref_r),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(ref_i),
+                               atol=2e-5)
