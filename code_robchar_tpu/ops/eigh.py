@@ -57,16 +57,23 @@ def _rotation(app: jnp.ndarray, aqq: jnp.ndarray, apq: jnp.ndarray,
     c = jnp.where(active, c, 1.0)
     s = jnp.where(active, s, 0.0)
     phase = jnp.where(active, phase, 1.0 + 0j)
-    return c, s, phase
+    t_eff = jnp.where(active, t, 0.0)
+    return c, s, phase, t_eff, r, active
 
 
 def _apply_rotation(a: jnp.ndarray, v: jnp.ndarray, p: int, q: int,
                     eps: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One (p, q) pivot: A <- J^H A J, V <- V J, batched over leading axes."""
+    """One (p, q) pivot: A <- J^H A J, V <- V J, batched over leading axes.
+
+    Symmetric update (same algebra as realform/pallas_jacobi): only the
+    column pair is rotated; rows p, q are conjugate mirrors and the 2x2
+    pivot block is closed-form (A[p,q] zeroed exactly, Rutishauser
+    diagonal) — ~2/3 the arithmetic, and the diagonal stays exactly real.
+    """
     app = a[..., p, p].real
     aqq = a[..., q, q].real
     apq = a[..., p, q]
-    c, s, phase = _rotation(app, aqq, apq, eps)
+    c, s, phase, t_eff, r, active = _rotation(app, aqq, apq, eps)
     cc = c[..., None].astype(a.dtype)
     ss = s[..., None].astype(a.dtype)
     ph = phase[..., None]
@@ -79,12 +86,12 @@ def _apply_rotation(a: jnp.ndarray, v: jnp.ndarray, p: int, q: int,
     new_q = ss * ph * col_p + cc * col_q
     a = a.at[..., :, p].set(new_p).at[..., :, q].set(new_q)
 
-    # row update: (J^H A)[p, :] = c A[p,:] - s e^{+ia} A[q,:]
-    #             (J^H A)[q, :] = s e^{-ia} A[p,:] + c A[q,:]
-    row_p = a[..., p, :]
-    row_q = a[..., q, :]
-    new_rp = cc * row_p - ss * ph * row_q
-    new_rq = ss * ph.conj() * row_p + cc * row_q
+    # rows p, q by Hermitian symmetry + closed-form pivot block
+    npp = (app - t_eff * r).astype(a.dtype)
+    nqq = (aqq + t_eff * r).astype(a.dtype)
+    zpq = jnp.where(active, jnp.zeros_like(apq), apq)
+    new_rp = new_p.conj().at[..., p].set(npp).at[..., q].set(zpq)
+    new_rq = new_q.conj().at[..., p].set(zpq.conj()).at[..., q].set(nqq)
     a = a.at[..., p, :].set(new_rp).at[..., q, :].set(new_rq)
 
     # eigenvector columns: V <- V J (same column ops as A J)

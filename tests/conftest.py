@@ -32,6 +32,20 @@ def rng():
     return np.random.default_rng(1234)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables at module boundaries.
+
+    A full serial suite run compiles ~10^2 distinct XLA CPU programs in
+    one process; letting them all stay live eventually segfaults the XLA
+    CPU JIT during a late compile (reproducibly, at the same test —
+    isolated runs of that test are fine).  Modules share essentially no
+    jitted programs, so per-module clearing costs nothing and keeps the
+    compiler healthy."""
+    yield
+    jax.clear_caches()
+
+
 # ---------------------------------------------------------------------------
 # quick tier: `pytest -m quick` runs the sub-5s tests (< 2 min wall) so CI
 # has a fast gate; the full suite stays the release gate.  Durations from a
