@@ -18,6 +18,7 @@ from code_robchar_tpu.figs.fig3 import IndividualContComparisons
 from code_robchar_tpu.figs.fig4 import KTRConsistency
 from code_robchar_tpu.figs.fig5 import ARIMGenerator
 from code_robchar_tpu.figs.fig8 import NStochOpt
+from code_robchar_tpu.figs.rimk import ExploringRIMK
 
 __all__ = ["CDFAreaExample", "IndividualContComparisons", "KTRConsistency",
-           "ARIMGenerator", "NStochOpt"]
+           "ARIMGenerator", "NStochOpt", "ExploringRIMK"]
