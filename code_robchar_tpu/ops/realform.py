@@ -37,11 +37,15 @@ _DEG_EPS = 1e-9
 
 def _sweeps_for(dtype, n) -> int:
     # Cyclic Jacobi is quadratically convergent: at f32 five sweeps reach
-    # the rounding floor for n <= 10 on every workload class measured
-    # (bench-like, near-zero bias, exact ring degeneracies); +2 margin is
-    # kept for off-paper n > 8.
+    # the rounding floor on every workload class measured (bench-like,
+    # near-zero bias, exact ring degeneracies) for every n <= 10,
+    # including n = 9/10 — one margin sweep is kept there since they are
+    # off the measured paper envelope.  f64 keeps the conservative
+    # schedule (its floor is 8 orders deeper).
     bits = jnp.finfo(dtype).bits
-    return (5 if bits <= 32 else 9) + (2 if n > 8 else 0)
+    if bits <= 32:
+        return 5 + (1 if n > 8 else 0)
+    return 9 + (2 if n > 8 else 0)
 
 
 def _eps_for(dtype) -> float:

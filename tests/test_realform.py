@@ -168,8 +168,15 @@ def test_f32_sweep_policy_converges_on_hard_spectra(rng):
     ring[0, n - 1] = ring[n - 1, 0] = 1.0
     t = rng.uniform(0.0, 30.0, b)
 
+    # the n=10 ring (exact degeneracies, off-paper chain length) pins the
+    # reduced n>8 margin; measured floor is identical at 5/6/7 sweeps
+    ring10 = np.eye(10, k=1) + np.eye(10, k=-1)
+    ring10[0, 9] = ring10[9, 0] = 1.0
+
     for base, bias_scale, nscale in ((h0, 0.0, 0.0), (ring, 0.0, 0.0),
-                                     (h0, 0.01, 0.001)):
+                                     (h0, 0.01, 0.001),
+                                     (ring10, 0.0, 0.001)):
+        n = base.shape[0]
         ar = np.repeat(base[:, :, None], b, axis=2)
         ar[np.arange(n), np.arange(n)] += rng.uniform(
             -bias_scale, bias_scale, (n, b))
