@@ -118,3 +118,54 @@ def sharded_mc_metrics(mesh: Mesh, h0, controllers, noises, key,
                    out_specs={k: P(None, BATCH_AXIS) for k in names})
     ctrl = shard_batch(mesh, controllers, axis=0)
     return jax.jit(fn)(ctrl)
+
+
+def sharded_run_batch(mesh: Mesh, opt, x0s, keys):
+    """Optimizer-zoo restart batch sharded over the mesh.
+
+    ``opt`` is any ControlOptimizer (lbfgs/adam/nmplus/snob); its
+    ``_run_batch`` already advances every restart of a batch in lockstep
+    on one device, and restarts are embarrassingly parallel — so each
+    device runs the identical batched program on its block of
+    (x0s, keys).  Lane freezing is device-local: a device whose block
+    converges early stops iterating without waiting on the others.
+
+    Determinism: a sharded run is deterministic given (mesh, inputs) —
+    two identical calls are bitwise equal.  It is NOT bitwise equal to
+    the unsharded batch: XLA emits position-dependent SIMD/FMA variants
+    along the lane axis, so re-blocking shifts restarts by a few ulp,
+    which optimizer accept/reject boundaries then amplify (measured:
+    identical trajectories for alignment-preserved lanes, 1e-13..1e-7
+    drift otherwise — the same thing that happens re-running scipy on a
+    differently-compiled BLAS).  Each restart remains a valid
+    trajectory of the same optimizer; results are statistically
+    equivalent.
+    """
+    shard_map = jax.shard_map
+
+    n_dev = mesh.devices.size
+    x0s = jnp.asarray(x0s)
+    k = x0s.shape[0]
+    if k % n_dev:
+        raise ValueError(f"restart count {k} must divide the mesh size "
+                         f"{n_dev}")
+
+    # A FRESH batch fn per sharded call: tracing the optimizer's cached
+    # jitted _batch_fn inside shard_map poisons its trace cache for
+    # later plain calls (the manual-axes trace collides with the
+    # same-shape plain entry), so the shared cache must not be touched
+    # here.  Cost: one re-trace per sharded_run_batch call.
+    raw = opt._build_batch_fn()
+
+    def local_run(x0s_blk, keys_blk):
+        return raw(x0s_blk, keys_blk)
+
+    # check_vma off: the optimizer kernels init loop carries from fresh
+    # zero constants (unvaried), which trips shard_map's varying-axis
+    # bookkeeping; the program is purely elementwise along the restart
+    # axis (no collectives), so replication checking adds nothing here.
+    fn = shard_map(local_run, mesh=mesh,
+                   in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+                   out_specs=P(BATCH_AXIS), check_vma=False)
+    return fn(shard_batch(mesh, x0s, axis=0),
+              shard_batch(mesh, keys, axis=0))

@@ -60,3 +60,40 @@ def test_sharded_fused_metrics_match_unsharded(rng):
         np.testing.assert_allclose(np.asarray(out[k]),
                                    np.asarray(ref[k]),
                                    atol=1e-14, rtol=1e-12, err_msg=k)
+
+
+def test_sharded_zoo_restarts_deterministic_and_equivalent():
+    """Zoo restarts sharded over the mesh: deterministic given inputs,
+    and statistically equivalent to the unsharded batch.  (Bitwise
+    equality across re-blocking is NOT promised — XLA's lane-position-
+    dependent SIMD variants shift restarts by ulps, which line-search
+    accept boundaries amplify; see sharded_run_batch docstring.)"""
+    import jax
+    import jax.numpy as jnp
+    from code_robchar_tpu.models import LBFGS
+    from code_robchar_tpu.parallel import make_mesh, sharded_run_batch
+
+    opt = LBFGS(4, 0, 2, testing=True, fid_threshold=2.0, repeats=16,
+                run_until_told_to_stop=True, run_until_completion_its=10**9,
+                landscape_exploration=True, save_topc=8)
+    x0s = jnp.asarray(opt.init_points(16))
+    keys = jax.random.split(jax.random.key(3), 16)
+    mesh = make_mesh(8)
+    got = sharded_run_batch(mesh, opt, x0s, keys)
+    again = sharded_run_batch(mesh, opt, x0s, keys)
+    np.testing.assert_array_equal(np.asarray(got.x), np.asarray(again.x))
+    np.testing.assert_array_equal(np.asarray(got.nfev),
+                                  np.asarray(again.nfev))
+
+    ref = opt._run_batch(x0s, keys)
+    # each restart is a valid converged trajectory of the same program:
+    # box respected, budget respected, aggregate quality matches
+    assert np.all(np.asarray(got.x)[:, :4] >= -10 - 1e-9)
+    assert np.all(np.asarray(got.x)[:, :4] <= 10 + 1e-9)
+    assert np.all(np.asarray(got.nfev) > 0)
+    assert abs(float(jnp.mean(got.true_fid)) -
+               float(jnp.mean(ref.true_fid))) < 5e-2
+
+    # a single-device mesh preserves lane alignment -> bitwise equal
+    got1 = sharded_run_batch(make_mesh(1), opt, x0s, keys)
+    np.testing.assert_array_equal(np.asarray(got1.x), np.asarray(ref.x))
