@@ -123,7 +123,11 @@ def sharded_mc_metrics(mesh: Mesh, h0, controllers, noises, key,
 def sharded_run_batch(mesh: Mesh, opt, x0s, keys):
     """Optimizer-zoo restart batch sharded over the mesh.
 
-    ``opt`` is any ControlOptimizer (lbfgs/adam/nmplus/snob); its
+    ``opt`` is a stateless-batch ControlOptimizer (lbfgs/nmplus/snob —
+    optimizers exposing ``_build_batch_fn``; Adam's segment streams carry
+    state on the instance and are already one fused device program per
+    segment, so shard Adam by running per-device instances); the chosen
+    optimizer's
     ``_run_batch`` already advances every restart of a batch in lockstep
     on one device, and restarts are embarrassingly parallel — so each
     device runs the identical batched program on its block of
@@ -143,6 +147,10 @@ def sharded_run_batch(mesh: Mesh, opt, x0s, keys):
     """
     shard_map = jax.shard_map
 
+    if not hasattr(opt, "_build_batch_fn"):
+        raise NotImplementedError(
+            f"{type(opt).__name__} has no stateless batch fn; shard it by "
+            "running per-device instances (Adam carries segment state)")
     n_dev = mesh.devices.size
     x0s = jnp.asarray(x0s)
     k = x0s.shape[0]

@@ -97,3 +97,35 @@ def test_sharded_zoo_restarts_deterministic_and_equivalent():
     # a single-device mesh preserves lane alignment -> bitwise equal
     got1 = sharded_run_batch(make_mesh(1), opt, x0s, keys)
     np.testing.assert_array_equal(np.asarray(got1.x), np.asarray(ref.x))
+
+
+def test_sharded_zoo_all_families_smoke():
+    """Every stateless-batch family must run under shard_map (their
+    loop structures differ: nmplus/snob fori rounds, lbfgs nested
+    while_loops); Adam's stateful segment streams are rejected with a
+    clear error."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from code_robchar_tpu.models import Adam, NMPlus, SNOB
+    from code_robchar_tpu.parallel import make_mesh, sharded_run_batch
+
+    mesh = make_mesh(8)
+    a = Adam(3, 0, 2, testing=True, fid_threshold=2.0, repeats=8,
+             run_until_told_to_stop=True, run_until_completion_its=10**9,
+             landscape_exploration=True, save_topc=4)
+    with pytest.raises(NotImplementedError):
+        sharded_run_batch(mesh, a, jnp.zeros((8, 4)),
+                          jax.random.split(jax.random.key(0), 8))
+
+    for cls in (NMPlus, SNOB):
+        opt = cls(3, 0, 2, testing=True, fid_threshold=2.0, repeats=8,
+                  run_until_told_to_stop=True,
+                  run_until_completion_its=10**9,
+                  landscape_exploration=True, save_topc=4)
+        x0s = jnp.asarray(opt.init_points(8))
+        keys = jax.random.split(jax.random.key(1), 8)
+        res = sharded_run_batch(mesh, opt, x0s, keys)
+        assert res.x.shape == (8, 4)
+        assert np.all(np.isfinite(np.asarray(res.fid)))
+        assert np.all(np.asarray(res.nfev) > 0)
