@@ -33,21 +33,25 @@ def reference_cpu_rate(n: int = 7, samples: int = 300) -> float:
         h0[l - 1, l] = h0[l, l - 1] = 1.0
     x = np.concatenate([rng.uniform(-10, 10, n), [12.0]])
 
-    start = time.perf_counter()
-    acc = 0.0
-    for _ in range(samples):
-        z = np.zeros((n, n), dtype=complex)
-        d = rng.normal(scale=0.05, size=n)
-        nn = rng.normal(scale=0.05, size=n - 1)
-        nn2 = rng.normal(scale=0.05, size=n - 1)
-        z[np.arange(n), np.arange(n)] = d
-        z[np.arange(1, n), np.arange(n - 1)] = nn + 1j * nn2
-        z[np.arange(n - 1), np.arange(1, n)] = nn - 1j * nn2
-        h = h0 + z + np.diag(x[:n])
-        u = scipy.linalg.expm(-1j * abs(x[n]) * h)
-        acc += abs(u[6, 0]) ** 2
-    elapsed = time.perf_counter() - start
-    return samples / elapsed
+    # median of three windows: the host rate wobbles ~2x with ambient
+    # load, and it is the vs_baseline denominator
+    rates = []
+    for _ in range(3):
+        start = time.perf_counter()
+        acc = 0.0
+        for _ in range(samples):
+            z = np.zeros((n, n), dtype=complex)
+            d = rng.normal(scale=0.05, size=n)
+            nn = rng.normal(scale=0.05, size=n - 1)
+            nn2 = rng.normal(scale=0.05, size=n - 1)
+            z[np.arange(n), np.arange(n)] = d
+            z[np.arange(1, n), np.arange(n - 1)] = nn + 1j * nn2
+            z[np.arange(n - 1), np.arange(1, n)] = nn - 1j * nn2
+            h = h0 + z + np.diag(x[:n])
+            u = scipy.linalg.expm(-1j * abs(x[n]) * h)
+            acc += abs(u[6, 0]) ** 2
+        rates.append(samples / (time.perf_counter() - start))
+    return float(np.median(rates))
 
 
 def main():
@@ -116,10 +120,18 @@ def main():
     handshake.join()
     float(jnp.sum(warm[r"$W(.,\delta(x-1))$"]))  # fetch barrier
 
-    start = time.perf_counter()
-    metrics = run_metrics(jax.random.key(1))
-    checksum = float(jnp.sum(metrics[r"$W(.,\delta(x-1))$"]))
-    elapsed = time.perf_counter() - start
+    # median of three fetch-to-fetch timings (distinct keys so the relay
+    # cannot memoize); checksum from the first
+    times = []
+    checksum = None
+    for i in range(3):
+        start = time.perf_counter()
+        metrics = run_metrics(jax.random.key(1 + i))
+        cs = float(jnp.sum(metrics[r"$W(.,\delta(x-1))$"]))
+        times.append(time.perf_counter() - start)
+        if checksum is None:
+            checksum = cs
+    elapsed = float(np.median(times))
 
     rate = total / elapsed
     ref_rate = reference_cpu_rate(n)
