@@ -17,9 +17,11 @@ a_pq = r e^{i alpha}:
     J restricted to (p,q):  [[c, s e^{i alpha}], [-s e^{-i alpha}, c]]
 
 zeroes A[p,q] exactly; A <- J^H A J, V <- V J.  Off-diagonal Frobenius mass
-decays quadratically once sweeps converge; SWEEPS below is sized for
-n <= 16 at float32 (throughput regime) and float64 (parity regime) —
-validated against LAPACK eigh in tests/test_propagate.py.
+decays quadratically once sweeps converge; the default sweep schedule is
+realform._sweeps_for, measured to the rounding floor for n <= 10 (the paper
+envelope, incl. hard/degenerate spectra) at float32 (throughput regime) and
+float64 (parity regime) — validated against LAPACK eigh in
+tests/test_propagate.py.  For n > 10 pass ``sweeps`` explicitly.
 
 This file is the pure-XLA formulation; the Pallas kernels in
 ``code_robchar_tpu.ops.pallas_jacobi`` implement the same schedule with
@@ -104,13 +106,11 @@ def _apply_rotation(a: jnp.ndarray, v: jnp.ndarray, p: int, q: int,
 
 
 def _default_sweeps(n: int, dtype) -> int:
-    # Same measured policy as realform._sweeps_for: five sweeps reach the
-    # f32 rounding floor for n <= 10 (incl. exact degeneracies), +1
-    # margin off the paper envelope; f64 keeps the conservative schedule.
-    bits = jnp.finfo(jnp.zeros((), dtype).real.dtype).bits
-    if bits <= 32:
-        return 5 + (1 if n > 8 else 0)
-    return 9 + (2 if n > 8 else 0)
+    # Single source of truth for the measured sweep schedule; finfo of a
+    # complex dtype reports its real component's precision, so the policy
+    # applies unchanged to the complex path.
+    from code_robchar_tpu.ops.realform import _sweeps_for
+    return _sweeps_for(jnp.zeros((), dtype).real.dtype, n)
 
 
 @partial(jax.jit, static_argnames=("sweeps",))
