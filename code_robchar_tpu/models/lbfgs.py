@@ -211,6 +211,7 @@ def _batched_restarts(x0s, key, value_and_grad_b, lower, upper, maxiter,
 class LBFGS(ControlOptimizer):
     name = "lbfgs"
     budget_per_restart = 120  # typical converged nfev; batch-size heuristic
+    supports_wass_cost = True
 
     def __init__(self, *args, maxiter: int = 200, **kwargs):
         super().__init__(*args, **kwargs)
@@ -230,9 +231,24 @@ class LBFGS(ControlOptimizer):
         h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
 
         if noisy:
-            infid_b = objectives.make_infidelity_batch(spec)
-            vag_b = objectives.make_fd_gradient_batch(infid_b, d)
+            if self.use_wass_cost:
+                # qnewton.py:512 selects the Wasserstein robustness cost
+                # in the noisy branch (the reference branch is de facto
+                # dead — no else => NameError — but the wiring is the
+                # documented intent): train on RIM_1 of 5 ham-noisy
+                # probes, billed 5 fcalls per objective call.
+                wass_b = objectives.make_wass_cost_batch(spec, 5)
+                vag_b = objectives.make_fd_gradient_batch(wass_b, d)
+            else:
+                infid_b = objectives.make_infidelity_batch(spec)
+                vag_b = objectives.make_fd_gradient_batch(infid_b, d)
         else:
+            if self.use_wass_cost:
+                raise NotImplementedError(
+                    "use_wass_cost requires a noisy run (fid_noisy or "
+                    "ham_noisy): the cost probes ham-noisy fidelity at "
+                    "sigma=noise (qnewton.py:447-455) and the reference's "
+                    "noiseless branch never consults the flag")
             exact_b = objectives.make_exact_gradient_batch(spec)
 
             def vag_b(xs, key):
@@ -240,8 +256,13 @@ class LBFGS(ControlOptimizer):
                 return errs, grads, jnp.full(xs.shape[0], 1, jnp.int32)
 
         # reference fcall accounting (see module docstring): non-adaptive
-        # restarts bill d["funcalls"] * (mul_fac + 1).
-        bill_mul = spec.mul_fac + (0 if spec.adaptive else 1)
+        # restarts bill d["funcalls"] * (mul_fac + 1).  The wass-cost path
+        # has no reference accounting to mirror (its branch never ran);
+        # it bills exactly bootstrap_reps per objective call, in-band.
+        if noisy and self.use_wass_cost:
+            bill_mul = 1
+        else:
+            bill_mul = spec.mul_fac + (0 if spec.adaptive else 1)
 
         infid_eval_b = objectives.make_infidelity_batch(spec)
 
@@ -268,7 +289,8 @@ class LBFGS(ControlOptimizer):
 
     def _run_batch(self, x0s, keys) -> BatchResult:
         cfg = (float(self.noise), bool(self.fid_noisy), bool(self.ham_noisy),
-               bool(self.use_fixed_ham), int(self.draws), bool(self.adaptive))
+               bool(self.use_fixed_ham), int(self.draws),
+               bool(self.adaptive), bool(self.use_wass_cost))
         if self._batch_fn is None or cfg != self._batch_cfg:
             self._batch_fn = self._build_batch_fn()
             self._batch_cfg = cfg

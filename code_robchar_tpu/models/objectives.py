@@ -135,15 +135,10 @@ def make_exact_gradient_batch(spec: ObjectiveSpec):
     return f
 
 
-def make_infidelity_batch(spec: ObjectiveSpec):
-    """(xs (K, d), key) -> (infids (K,), fcalls (K,)) — the batched lanes
-    counterpart of make_infidelity (same noise semantics and billing; draw
-    streams fold the lane index, so they differ from vmapping the
-    single-point objective — parity is distributional, SURVEY §7.4)."""
-    n = spec.h0.shape[-1]
-    h0r = jnp.real(spec.h0)
-    fixed_r = jnp.real(spec.fixed_hams) if spec.fixed_hams is not None \
-        else None
+def _make_fid_lanes(n: int, in_spin: int, out_spin: int):
+    """(a (n, n, B), t (B,)) -> fids (B,): the shared lanes fidelity
+    kernel — one fused Pallas launch on TPU backends when the batch tiles
+    cleanly, the XLA lanes kernel otherwise."""
     use_pallas = jax.default_backend() not in ("cpu",)
 
     def fid_lanes(a, t):
@@ -154,10 +149,22 @@ def make_infidelity_batch(spec: ObjectiveSpec):
                 from code_robchar_tpu.ops.pallas_jacobi import \
                     fidelity_sym_pallas
                 return fidelity_sym_pallas(
-                    a, t, spec.in_spin, spec.out_spin,
+                    a, t, in_spin, out_spin,
                     realform._sweeps_for(a.dtype, n), tile)
-        return realform.fidelity_sym_lanes(a, t, spec.in_spin,
-                                           spec.out_spin)
+        return realform.fidelity_sym_lanes(a, t, in_spin, out_spin)
+    return fid_lanes
+
+
+def make_infidelity_batch(spec: ObjectiveSpec):
+    """(xs (K, d), key) -> (infids (K,), fcalls (K,)) — the batched lanes
+    counterpart of make_infidelity (same noise semantics and billing; draw
+    streams fold the lane index, so they differ from vmapping the
+    single-point objective — parity is distributional, SURVEY §7.4)."""
+    n = spec.h0.shape[-1]
+    h0r = jnp.real(spec.h0)
+    fixed_r = jnp.real(spec.fixed_hams) if spec.fixed_hams is not None \
+        else None
+    fid_lanes = _make_fid_lanes(n, spec.in_spin, spec.out_spin)
 
     def assemble(xs, zdiag, znn):
         k = xs.shape[0]
@@ -282,4 +289,46 @@ def make_wass_cost(spec: ObjectiveSpec, bootstrap_reps: int = 5):
                 h0r + zr, x, spec.in_spin, spec.out_spin)
         fids = jax.vmap(draw)(keys)
         return wd_from_ideal(jnp.clip(fids, 0.0, 1.0))
+    return cost
+
+
+def make_wass_cost_batch(spec: ObjectiveSpec, bootstrap_reps: int = 5):
+    """(xs (K, d), key) -> (costs (K,), fcalls (K,)): batched Wasserstein
+    robustness cost, the use_wass_cost training objective (qnewton.py:512
+    selects it in the noisy LBFGS branch; the cost itself at :447-455
+    probes ham_noisy fidelity ``bootstrap_reps`` times, so each objective
+    call bills ``bootstrap_reps`` function calls).  All K * reps probe
+    Hamiltonians ride one lanes batch; the per-lane RIM_1 reduction is
+    a trailing-axis wd_from_ideal."""
+    n = spec.h0.shape[-1]
+    h0r = jnp.real(spec.h0)
+    fid_lanes = _make_fid_lanes(n, spec.in_spin, spec.out_spin)
+
+    def cost(xs, key):
+        k = xs.shape[0]
+        dt = h0r.dtype
+        kr = k * bootstrap_reps
+        # one real-offdiagonal structured draw per (lane, rep)
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            key, jnp.arange(kr, dtype=jnp.uint32))
+        parts = jax.vmap(lambda kk: jax.random.split(kk, 2))(keys)
+        zdiag = jax.vmap(
+            lambda kk: jax.random.normal(kk, (n,), dt))(parts[:, 0]) \
+            * spec.noise
+        znn = jax.vmap(
+            lambda kk: jax.random.normal(kk, (n - 1,), dt))(parts[:, 1]) \
+            * spec.noise
+
+        xr = jnp.repeat(xs, bootstrap_reps, axis=0)          # (K*R, d)
+        a = jnp.broadcast_to(h0r[:, :, None], (n, n, kr)).astype(dt)
+        add_diag = xr[:, :n].T.astype(dt) + zdiag.T
+        for i in range(n):
+            a = a.at[i, i].add(add_diag[i])
+        for i in range(1, n):
+            a = a.at[i, i - 1].add(znn[:, i - 1])
+            a = a.at[i - 1, i].add(znn[:, i - 1])
+        fids = fid_lanes(a, jnp.abs(xr[:, n]).astype(dt))
+        fids = jnp.clip(fids, 0.0, 1.0).reshape(k, bootstrap_reps)
+        return wd_from_ideal(fids), \
+            jnp.full((k,), bootstrap_reps, jnp.int32)
     return cost

@@ -23,8 +23,10 @@ The mix and trust-radius dynamics are calibrated against the reference's
 SHIPPED snob controller sets: on the N=5 0->2 sigma_train=0.05 transition
 of pipeline_nmplus2, the top-1000 RIM distribution of a 1e6-fcall run
 matches the shipped set with a two-sample KS statistic of ~0.07 (p ~ 0.03,
-n=1000 each; down from 0.45 before round-2 calibration) — pinned loosely
-in tests/test_reference_interop.py.  Ranking parity: restarts are ranked
+n=1000 each; down from 0.45 before round-2 calibration) — guarded by
+tests/test_reference_interop.py::test_snob_calibration_ks_guardrail
+(KS < 0.15 on a budget-scaled replica; the held-out N=6 0->5 gap is
+recorded as an xfail there).  Ranking parity: restarts are ranked
 by SNOBFIT's *reported optimum* 1 - optval, i.e. the min over the noisy
 evaluation history (qnewton.py:836-838), not a fresh evaluation.
 
