@@ -30,9 +30,17 @@ from code_robchar_tpu.mc.datasim import MCDataSim
 
 class NStochOpt(MCDataSim):
     def __init__(self, *args, fig_dir: str = "paperfigs",
-                 autoplot: bool = False, **kwargs):
+                 autoplot: bool = False,
+                 reference_axis_compat: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.fig_dir = fig_dir
+        # the reference hard-codes 1e6 fcalls per checkpoint on the x-axis
+        # (gen_fig_8:81) regardless of the data's actual checkpoint
+        # spacing.  By default the axis is derived from the controller
+        # dict's real fcall checkpoint keys (correct for self-generated
+        # data at any records_update_rate); set reference_axis_compat=True
+        # to reproduce the reference figure's quirk axis.
+        self.reference_axis_compat = reference_axis_compat
         os.makedirs(fig_dir, exist_ok=True)
         try:
             self.c_dict_nsh = self.loadsimdata(self.get_controller_name +
@@ -68,16 +76,19 @@ class NStochOpt(MCDataSim):
         dropped, as in the reference."""
         save = (self.get_controller_name + "_arims_" + algo + nlvl +
                 marker + ".pickle")
+        # filter the checkpoint keys first so the TRUE fcall axis is
+        # available even on a pickle cache hit (the pickle stays a plain
+        # ndarray for reference wire-format interop, SURVEY §2.2)
+        new_keys = None
+        if cdict is not None and algo in cdict and nlvl in cdict[algo]:
+            fcall_dict = {k: v for k, v in cdict[algo][nlvl].items()
+                          if len(v) >= self.numcontrollers}
+            new_keys = list(fcall_dict)
         if os.path.exists(save):
             with open(save, "rb") as f:
-                return pickle.load(f), None
-        if cdict is None or algo not in cdict:
+                return pickle.load(f), new_keys
+        if new_keys is None:
             raise KeyError(f"algo {algo!r} not in controller dict")
-        fcall_dict = dict(cdict[algo][nlvl])
-        for key in list(fcall_dict):
-            if len(fcall_dict[key]) < self.numcontrollers:
-                fcall_dict.pop(key)
-        new_keys = list(fcall_dict)
 
         arims = np.zeros((len(fcall_dict), len(self.noises)))
         for j, fcall in enumerate(fcall_dict):
@@ -96,6 +107,18 @@ class NStochOpt(MCDataSim):
 
     # -------------------------------------------------------------- plots
 
+    def _fcall_axis(self, n: int, keys) -> np.ndarray:
+        """x-axis for n checkpoints: the data's real fcall keys unless
+        reference_axis_compat replays the reference's index * 1e6 quirk
+        (gen_fig_8:81) or the keys are unavailable/non-numeric."""
+        if not self.reference_axis_compat and keys is not None \
+                and len(keys) >= n:
+            try:
+                return np.asarray([float(k) for k in keys[:n]])
+            except (TypeError, ValueError):
+                pass
+        return (np.arange(n) * 1e6).astype(int)
+
     def combined_scaling_plot(self, ax, ind: int, nlvl=0.01,
                               max_checkpoints: int = 40):
         nlvl = str(nlvl)
@@ -104,14 +127,11 @@ class NStochOpt(MCDataSim):
             for i, algo in enumerate(["lbfgs", "ppo", "snob", "nmplus"]):
                 algoname = "nm" if algo == "nmplus" else algo
                 try:
-                    arims, _ = self.get_arims(algo, nlvl=nlvl,
-                                              marker=marker, cdict=cdict)
+                    arims, keys = self.get_arims(algo, nlvl=nlvl,
+                                                 marker=marker, cdict=cdict)
                 except KeyError:
                     continue
-                # the reference hard-codes 1e6 fcalls per checkpoint on
-                # the x-axis (gen_fig_8:81) regardless of the actual
-                # records_update_rate — quirk preserved for figure parity
-                fcalls = (np.arange(len(arims)) * 1e6).astype(int)
+                fcalls = self._fcall_axis(len(arims), keys)
                 mean_arim = arims.mean(axis=-1)[:max_checkpoints]
                 boot_std = self.bootstrap_resampling_std(
                     lambda v: jnp.mean(v, axis=-1), mean_arim, 100)
@@ -130,10 +150,10 @@ class NStochOpt(MCDataSim):
                                 mean_arim + 2 * boot_std, alpha=0.2,
                                 color=self.plot_colors[i])
         try:
-            ref, _ = self.get_arims(
+            ref, keys = self.get_arims(
                 "lbfgs", nlvl=self.lbfgs_no_noise_bench_nlvl, marker="",
                 cdict=self.c_dict_sh)
-            fcalls = (np.arange(len(ref)) * 1e6).astype(int)
+            fcalls = self._fcall_axis(len(ref), keys)
             ax.plot(fcalls[:max_checkpoints],
                     ref.mean(axis=-1)[:max_checkpoints],
                     label="lbfgs no-noise bench", color="gray",

