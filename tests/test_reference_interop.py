@@ -170,3 +170,81 @@ def test_shipped_mcm_metric_tensor_bit_parity():
             np.testing.assert_allclose(np.asarray(ours[k]),
                                        np.asarray(v, dtype=float),
                                        atol=0, rtol=0, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# SNOB stand-in distributional guardrails (VERDICT r2 weak #1 / next #9).
+# Full-budget calibration lives in artifacts/figparity/snob_calibrate.py
+# (1e6 fcalls, KS 0.066-0.081 on N=5 0->2); CI runs a scaled replica with
+# the SAME top-k truncation fraction (top-300 of 1000 restarts ~ the
+# shipped top-1000 of 3334) so a regression toward the pre-calibration
+# KS ~ 0.45 surrogate fails loudly.
+# ---------------------------------------------------------------------------
+
+def _snob_rim_sample(nspin, outspin, sigma, restarts=1000, topc=300,
+                     seed=0):
+    import jax
+    import jax.numpy as jnp
+    from code_robchar_tpu.models import SNOB
+    from code_robchar_tpu.mc.engine import mc_metric_sweep
+    from code_robchar_tpu.ops import chain
+
+    opt = SNOB(nspin, 0, outspin, ham_noisy=True, noise=sigma,
+               fid_threshold=0.1, run_until_told_to_stop=True,
+               run_until_completion_its=int(restarts * 300),
+               landscape_exploration=True, save_topc=topc,
+               repeats=restarts, testing=True, seed=seed,
+               restart_batch=250)
+    opt.run()
+    ours = np.asarray(opt.record["controllers"])
+    h0 = chain.xx_hamiltonian_real(nspin)
+    md = mc_metric_sweep(h0, jnp.asarray(ours), jnp.asarray([sigma]),
+                         jax.random.key(7), 100, 0, outspin)
+    return np.asarray(md[r"$W(.,\delta(x-1))$"][0])
+
+
+def _shipped_snob_rims(nspin, outspin, sigma):
+    import json
+    import jax
+    import jax.numpy as jnp
+    from code_robchar_tpu.mc.engine import mc_metric_sweep
+    from code_robchar_tpu.ops import chain
+
+    path = (f"/root/reference/experiments/pipeline_nmplus2/"
+            f"ppo_spin_{nspin}_0-{outspin}_c_1000.le")
+    if not os.path.exists(path):
+        pytest.skip("shipped snob store not mounted")
+    shipped = np.asarray(
+        json.load(open(path))["snob"][str(sigma)]["controller"])
+    h0 = chain.xx_hamiltonian_real(nspin)
+    md = mc_metric_sweep(h0, jnp.asarray(shipped), jnp.asarray([sigma]),
+                         jax.random.key(7), 100, 0, outspin)
+    return np.asarray(md[r"$W(.,\delta(x-1))$"][0])
+
+
+def test_snob_calibration_ks_guardrail():
+    """Calibration transition N=5 0->2: the RIM distribution of a
+    budget-matched SNOB collection must stay within KS 0.15 of the
+    shipped SNOBFIT set (full-budget value 0.066-0.081; the
+    pre-calibration surrogate sat at 0.45)."""
+    import scipy.stats
+    ours = _snob_rim_sample(5, 2, 0.05)
+    ship = _shipped_snob_rims(5, 2, 0.05)
+    stat, p = scipy.stats.ks_2samp(ours, ship)
+    assert stat < 0.15, (f"snob calibration drifted: KS {stat:.3f} "
+                         f"(p={p:.2e}) vs shipped N=5 0->2")
+
+
+@pytest.mark.xfail(strict=False,
+                   reason="documented held-out gap (SNOBPARITY.md): the "
+                          "stand-in is measurably stronger than SNOBFIT "
+                          "on hard transitions, full-budget KS 0.197")
+def test_snob_heldout_ks_recorded():
+    """Held-out transition N=6 0->5: records the known distributional
+    gap.  If structure work ever closes it (KS < 0.1) this starts
+    passing and the xfail should be removed."""
+    import scipy.stats
+    ours = _snob_rim_sample(6, 5, 0.05)
+    ship = _shipped_snob_rims(6, 5, 0.05)
+    stat, _ = scipy.stats.ks_2samp(ours, ship)
+    assert stat < 0.1
