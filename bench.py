@@ -22,9 +22,14 @@ import time
 import numpy as np
 
 
-def reference_cpu_rate(n: int = 7, samples: int = 300) -> float:
+def reference_cpu_rate(n: int = 7, samples: int = 300):
     """Reference-style per-Hamiltonian cost: structured perturbation +
-    scipy expm + fidelity (noise_model.py:98-109), sequential."""
+    scipy expm + fidelity (noise_model.py:98-109), sequential.
+
+    Returns (median, min, max) over three windows: the host rate wobbles
+    ~2x with ambient load, so vs_baseline is inherently noisy — the
+    device-side Hamiltonians/sec numerator is the stable headline
+    (VERDICT r2 next #10)."""
     import scipy.linalg
 
     rng = np.random.default_rng(0)
@@ -33,8 +38,6 @@ def reference_cpu_rate(n: int = 7, samples: int = 300) -> float:
         h0[l - 1, l] = h0[l, l - 1] = 1.0
     x = np.concatenate([rng.uniform(-10, 10, n), [12.0]])
 
-    # median of three windows: the host rate wobbles ~2x with ambient
-    # load, and it is the vs_baseline denominator
     rates = []
     for _ in range(3):
         start = time.perf_counter()
@@ -51,7 +54,7 @@ def reference_cpu_rate(n: int = 7, samples: int = 300) -> float:
             u = scipy.linalg.expm(-1j * abs(x[n]) * h)
             acc += abs(u[6, 0]) ** 2
         rates.append(samples / (time.perf_counter() - start))
-    return float(np.median(rates))
+    return float(np.median(rates)), float(min(rates)), float(max(rates))
 
 
 def main():
@@ -134,22 +137,30 @@ def main():
     elapsed = float(np.median(times))
 
     rate = total / elapsed
-    ref_rate = reference_cpu_rate(n)
+    ref_rate, ref_lo, ref_hi = reference_cpu_rate(n)
 
-    # ---- PPO training throughput (512 concurrent controller searches) --
+    if n_dev > 1:
+        from code_robchar_tpu.parallel import mesh as pmesh
+
+    # ---- PPO training throughput (256 concurrent controller searches:
+    # the measured per-chip throughput peak, PERF.md) -------------------
     # steady-state epochs: one warm (compile) + one throwaway (the relay
     # charges a one-time stall on the second distinct execution), then
-    # timed evolving-state epochs.
+    # timed evolving-state epochs.  On a multi-chip host the agent axis
+    # shards over the mesh (PPO_en's public mesh path).
     from code_robchar_tpu.models.ppo import PPO_en
-    agents = 512
+    agents = 256 * n_dev
     ppo = PPO_en(n, 0, 6, testing=True, fid_threshold=0.0, ham_noisy=True,
                  run_until_told_to_stop=True,
                  run_until_completion_its=10**12,
                  landscape_exploration=True, save_topc=100,
-                 num_agents=agents, rollout_sweeps=4)
+                 num_agents=agents, rollout_sweeps=4,
+                 mesh=mesh if n_dev > 1 else None)
     epoch_fn = ppo._build_epoch(500, 0.2, 3e-3, 1e-3, 1000, 200, 200, 0.01)
     st = jax.vmap(ppo._init_agent)(
         jax.random.split(jax.random.key(0), agents))
+    if n_dev > 1:
+        st = pmesh.shard_leading_tree(mesh, st, agents)
     for _ in range(2):  # compile + stall absorber
         st, out = epoch_fn(st)
         float(jnp.sum(out.rewards))
@@ -163,21 +174,28 @@ def main():
     # ---- optimizer-zoo restart throughput (batched L-BFGS) -------------
     # k_rest matches the production regime: paper runs collect 1000
     # controllers, so restarts batch ~1024 lanes per device dispatch
+    # (x n_dev on a multi-chip host, restart axis sharded)
     from code_robchar_tpu.models import LBFGS
     opt = LBFGS(n, 0, 6, testing=True, fid_threshold=2.0, repeats=10**9,
                 run_until_told_to_stop=True, run_until_completion_its=10**12,
-                landscape_exploration=True, save_topc=64)
-    k_rest = 1024
-    x0s = jnp.asarray(opt.init_points(k_rest))
-    keys = jax.random.split(jax.random.key(5), k_rest)
-    res = opt._run_batch(x0s, keys)
+                landscape_exploration=True, save_topc=64,
+                mesh=mesh if n_dev > 1 else None)
+    k_rest = 1024 * n_dev
+
+    def zoo_inputs(seed):
+        x0s = jnp.asarray(opt.init_points(k_rest))
+        keys = jax.random.split(jax.random.key(seed), k_rest)
+        if n_dev > 1:
+            x0s = pmesh.shard_batch(mesh, x0s)
+            keys = pmesh.shard_batch(mesh, keys)
+        return x0s, keys
+
+    res = opt._run_batch(*zoo_inputs(5))
     float(jnp.sum(res.fid))
-    x0s2 = jnp.asarray(opt.init_points(k_rest))
-    res = opt._run_batch(x0s2, keys)     # stall absorber
+    res = opt._run_batch(*zoo_inputs(6))     # stall absorber
     float(jnp.sum(res.fid))
     t0 = time.perf_counter()
-    x0s3 = jnp.asarray(opt.init_points(k_rest))
-    res = opt._run_batch(x0s3, jax.random.split(jax.random.key(7), k_rest))
+    res = opt._run_batch(*zoo_inputs(7))
     float(jnp.sum(res.fid))
     zoo_rate = k_rest / (time.perf_counter() - t0)
 
@@ -190,6 +208,7 @@ def main():
         "vs_baseline": round(rate / ref_rate, 1),
         "wall_seconds": round(elapsed, 2),
         "reference_cpu_rate": round(ref_rate, 1),
+        "reference_cpu_rate_range": [round(ref_lo, 1), round(ref_hi, 1)],
         "rim_checksum": round(checksum, 3),
         "ppo_env_steps_per_s": round(ppo_rate, 1),
         "ppo_agents": agents,

@@ -52,9 +52,16 @@ class Adam(ControlOptimizer):
     default_batch = 64        # parallel Adam streams
     segment_its = 1000        # iterations fused per device dispatch
     cand_per_segment = 4      # top-c candidates offered per stream/segment
+    #: streams persist across segments — the base loop must never shrink
+    #: the batch (a "batch" here is the fixed stream count, not a set of
+    #: independent restarts; the reference loops on tot_its alone,
+    #: qnewton.py:674)
+    persistent_streams = True
 
-    def __init__(self, *args, **kwargs):
+    def __init__(self, *args, segment_its: int = None, **kwargs):
         super().__init__(*args, **kwargs)
+        if segment_its is not None:
+            self.segment_its = int(segment_its)
         if not (self.run_until_told_to_stop and self.landscape_exploration):
             raise Exception("alternative functionality isn't available yet.")
         self.eta = 0.008 if self.Nspin > 7 else 0.03
@@ -173,6 +180,16 @@ class Adam(ControlOptimizer):
             self._stream = (jnp.asarray(x0s), m0, v0,
                             jnp.zeros(k, jnp.int32),
                             jnp.zeros(k, jnp.int32))
+            if self.mesh is not None:
+                # lay the whole stream state out with the stream axis
+                # split over the mesh: the jitted segment programs are
+                # elementwise along streams, so GSPMD partitions them
+                # with no collectives (the Sobol restart table stays
+                # replicated — ~KB-scale)
+                from code_robchar_tpu.parallel import mesh as pmesh
+                pmesh.check_divisible(self.mesh, k, "stream")
+                self._stream = pmesh.shard_leading_tree(
+                    self.mesh, self._stream, k)
         w, m, v, it, ptr = self._stream
         its_done = int(it[0])
         restart_due = (its_done + self.segment_its) % _RESTART_EVERY == 0

@@ -91,7 +91,8 @@ class PPO_en:
                  seed: Optional[int] = None,
                  use_wass_value_targets: bool = False,
                  wass_bootstrap_reps: int = 30,
-                 rollout_sweeps: Optional[int] = None):
+                 rollout_sweeps: Optional[int] = None,
+                 mesh=None):
         self.nspin = nspin
         self.In = in_spin
         self.Out = out_spin
@@ -116,6 +117,16 @@ class PPO_en:
         self.train_size = opt_train_size
         self.records_update_rate = records_update_rate
         self.num_agents = num_agents
+        #: optional jax.sharding.Mesh: the agent batch axis of the whole
+        #: AgentState pytree is split over the mesh and the jitted epoch
+        #: partitions under GSPMD — data parallelism over independent
+        #: controller searches, replacing the reference's commented-out
+        #: MPI hooks (ppo.py:222-223, SURVEY §2.4)
+        self.mesh = mesh
+        if mesh is not None and num_agents % mesh.devices.size:
+            raise ValueError(
+                f"num_agents {num_agents} must be a multiple of the mesh "
+                f"size {mesh.devices.size}")
         # Wasserstein-cost value targets (ppo.py:277-286): the reference
         # wires this behind `update(max_fid_seen > 1)` — unreachable since
         # fidelities are <= 1 — but the capability is part of the trainer's
@@ -507,6 +518,9 @@ class PPO_en:
             st = self._init_agent(key)
         else:
             st = jax.vmap(self._init_agent)(jax.random.split(key, e))
+            if self.mesh is not None:
+                from code_robchar_tpu.parallel import mesh as pmesh
+                st = pmesh.shard_leading_tree(self.mesh, st, e)
 
         deadline = Deadline(self.timeout)
         top = TopControllers(self.save_topc)

@@ -42,6 +42,30 @@ def shard_batch(mesh: Mesh, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
 
+def shard_leading_tree(mesh: Mesh, tree, batch_size: int):
+    """device_put every array leaf whose leading dimension equals
+    ``batch_size`` with that axis split across the mesh (other leaves are
+    left as-is).  This is how the agent/stream/restart batch of a whole
+    optimizer state pytree (PPO AgentState, Adam stream) is laid out for
+    SPMD execution: the already-jitted epoch/segment programs pick the
+    input shardings up and partition under GSPMD — no shard_map needed,
+    because every program is elementwise along the batch axis."""
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == batch_size:
+            spec = P(BATCH_AXIS, *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return x
+    return jax.tree.map(put, tree)
+
+
+def check_divisible(mesh: Mesh, k: int, what: str = "batch") -> int:
+    n_dev = mesh.devices.size
+    if k % n_dev:
+        raise ValueError(f"{what} count {k} must be a multiple of the "
+                         f"mesh size {n_dev}")
+    return n_dev
+
+
 def sharded_mc_sweep(mesh: Mesh, h0, controllers, noises, key, bootreps: int,
                      in_spin: int, out_spin: int, *,
                      complex_offdiag: bool = True,
@@ -60,8 +84,9 @@ def sharded_mc_sweep(mesh: Mesh, h0, controllers, noises, key, bootreps: int,
     controllers = jnp.asarray(controllers)
     c_global = controllers.shape[0]
     if c_global % n_dev:
-        raise ValueError(f"controller count {c_global} must divide the mesh "
-                         f"size {n_dev} (pad with NaN controllers)")
+        raise ValueError(f"controller count {c_global} must be a multiple "
+                         f"of the mesh size {n_dev} (pad with NaN "
+                         f"controllers)")
     c_local = c_global // n_dev
     local_chunk = min(chunk, noises.shape[0] * c_local * bootreps)
 
@@ -98,8 +123,9 @@ def sharded_mc_metrics(mesh: Mesh, h0, controllers, noises, key,
     controllers = jnp.asarray(controllers)
     c_global = controllers.shape[0]
     if c_global % n_dev:
-        raise ValueError(f"controller count {c_global} must divide the mesh "
-                         f"size {n_dev} (pad with NaN controllers)")
+        raise ValueError(f"controller count {c_global} must be a multiple "
+                         f"of the mesh size {n_dev} (pad with NaN "
+                         f"controllers)")
     c_local = c_global // n_dev
     local_chunk = min(chunk, noises.shape[0] * c_local * bootreps)
 
@@ -123,11 +149,13 @@ def sharded_mc_metrics(mesh: Mesh, h0, controllers, noises, key,
 def sharded_run_batch(mesh: Mesh, opt, x0s, keys):
     """Optimizer-zoo restart batch sharded over the mesh.
 
-    ``opt`` is a stateless-batch ControlOptimizer (lbfgs/nmplus/snob —
-    optimizers exposing ``_build_batch_fn``; Adam's segment streams carry
-    state on the instance and are already one fused device program per
-    segment, so shard Adam by running per-device instances); the chosen
-    optimizer's
+    ``opt`` is a ControlOptimizer.  Stateless-batch optimizers
+    (lbfgs/nmplus/snob — optimizers exposing ``_build_batch_fn``) run
+    under shard_map below.  Adam's persistent segment streams carry state
+    on the instance; for it this function configures the instance's
+    ``mesh`` and advances the stream batch ONE segment with the stream
+    axis sharded (the same GSPMD path as ``Adam(mesh=...)`` — see
+    models/adam.py).  For either family the chosen optimizer's
     ``_run_batch`` already advances every restart of a batch in lockstep
     on one device, and restarts are embarrassingly parallel — so each
     device runs the identical batched program on its block of
@@ -147,16 +175,16 @@ def sharded_run_batch(mesh: Mesh, opt, x0s, keys):
     """
     shard_map = jax.shard_map
 
-    if not hasattr(opt, "_build_batch_fn"):
-        raise NotImplementedError(
-            f"{type(opt).__name__} has no stateless batch fn; shard it by "
-            "running per-device instances (Adam carries segment state)")
-    n_dev = mesh.devices.size
     x0s = jnp.asarray(x0s)
     k = x0s.shape[0]
-    if k % n_dev:
-        raise ValueError(f"restart count {k} must divide the mesh size "
-                         f"{n_dev}")
+    check_divisible(mesh, k, "restart")
+
+    if not hasattr(opt, "_build_batch_fn"):
+        # Adam-style persistent streams: configure the instance's mesh so
+        # its stream state is laid out sharded, then advance one segment.
+        opt.mesh = mesh
+        return opt._run_batch(shard_batch(mesh, x0s, axis=0),
+                              shard_batch(mesh, keys, axis=0))
 
     # A FRESH batch fn per sharded call: tracing the optimizer's cached
     # jitted _batch_fn inside shard_map poisons its trace cache for

@@ -100,23 +100,22 @@ def test_sharded_zoo_restarts_deterministic_and_equivalent():
 
 
 def test_sharded_zoo_all_families_smoke():
-    """Every stateless-batch family must run under shard_map (their
-    loop structures differ: nmplus/snob fori rounds, lbfgs nested
-    while_loops); Adam's stateful segment streams are rejected with a
-    clear error."""
+    """Every family must run sharded (their loop structures differ:
+    nmplus/snob fori rounds, lbfgs nested while_loops under shard_map;
+    Adam's persistent segment streams via the GSPMD stream-axis path)."""
     import jax
     import jax.numpy as jnp
-    import pytest
     from code_robchar_tpu.models import Adam, NMPlus, SNOB
     from code_robchar_tpu.parallel import make_mesh, sharded_run_batch
 
     mesh = make_mesh(8)
     a = Adam(3, 0, 2, testing=True, fid_threshold=2.0, repeats=8,
              run_until_told_to_stop=True, run_until_completion_its=10**9,
-             landscape_exploration=True, save_topc=4)
-    with pytest.raises(NotImplementedError):
-        sharded_run_batch(mesh, a, jnp.zeros((8, 4)),
-                          jax.random.split(jax.random.key(0), 8))
+             landscape_exploration=True, save_topc=4, segment_its=8)
+    ares = sharded_run_batch(mesh, a, jnp.asarray(a.init_points(8)),
+                             jax.random.split(jax.random.key(0), 8))
+    assert ares.x.shape == (8, 4)
+    assert np.all(np.asarray(ares.nfev) >= 8)   # one 8-it segment billed
 
     for cls in (NMPlus, SNOB):
         opt = cls(3, 0, 2, testing=True, fid_threshold=2.0, repeats=8,
@@ -129,3 +128,57 @@ def test_sharded_zoo_all_families_smoke():
         assert res.x.shape == (8, 4)
         assert np.all(np.isfinite(np.asarray(res.fid)))
         assert np.all(np.asarray(res.nfev) > 0)
+
+
+def test_lbfgs_mesh_kwarg_public_run():
+    """LBFGS(mesh=...).run(): the library-level multi-chip surface —
+    restart batches are dispatched with the batch axis sharded and the
+    record protocol is unchanged."""
+    from code_robchar_tpu.models import LBFGS
+
+    mesh = make_mesh(8)
+    opt = LBFGS(4, 0, 2, testing=True, fid_threshold=0.0, repeats=16,
+                run_until_told_to_stop=True, run_until_completion_its=10**9,
+                landscape_exploration=True, save_topc=8,
+                restart_batch=16, mesh=mesh)
+    best = opt.run()
+    assert best is not None and 0 <= best <= 1 + 1e-9
+    assert opt.record["func_calls"] > 0
+    assert 1 <= len(opt.record["controllers"]) <= 8
+
+
+def test_adam_mesh_kwarg_public_run():
+    """Adam(mesh=...).run(): persistent streams advance with the stream
+    axis sharded; billing and candidate collection are unchanged."""
+    from code_robchar_tpu.models import Adam
+
+    mesh = make_mesh(8)
+    opt = Adam(4, 0, 2, testing=True, fid_threshold=0.0,
+               run_until_told_to_stop=True, run_until_completion_its=500,
+               landscape_exploration=True, save_topc=8,
+               restart_batch=16, segment_its=16, mesh=mesh)
+    best = opt.run()
+    assert best is not None and 0 <= best <= 1 + 1e-9
+    assert opt.record["func_calls"] >= 500
+    assert 1 <= len(opt.record["controllers"]) <= 8
+
+
+def test_ppo_mesh_kwarg_public_run():
+    """PPO_en(mesh=...).run(): the agent axis shards over the mesh via
+    the public constructor (VERDICT r2 next #1a — no ad hoc assembly)."""
+    import pytest
+    from code_robchar_tpu.models.ppo import PPO_en
+
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError):
+        PPO_en(4, 0, 2, testing=True, num_agents=12, mesh=mesh)
+
+    ppo = PPO_en(4, 0, 2, testing=True, fid_threshold=0.0,
+                 run_until_told_to_stop=True, run_until_completion_its=64,
+                 landscape_exploration=True, save_topc=8,
+                 num_agents=8, mesh=mesh)
+    best = ppo.run(epochs=2, steps_per_epoch=8, train_pi_iters=2,
+                   train_v_iters=2)
+    assert 0 <= best <= 1 + 1e-9
+    assert ppo.record["func_calls"] is not None
+    assert 1 <= len(ppo.record["controllers"]) <= 8
