@@ -47,7 +47,8 @@ class Experiment:
                  run_until_completion_its=600000,
                  run_until_told_to_stop=False, use_fixed_ham: bool = False,
                  opt_train_size: int = 100, records_update_rate: float = 1e5,
-                 global_dir: str = "experiments", testing: bool = False):
+                 global_dir: str = "experiments", testing: bool = False,
+                 mesh=None):
         assert isinstance(experiment_name, str), \
             "Experiment name needs to be a string."
         self.experiment_name = experiment_name
@@ -62,6 +63,9 @@ class Experiment:
         self.run_until_completion_its = run_until_completion_its
         self._save_results = True
         self._checkpoint_respawn = respawn_from_checkpoint
+        #: optional jax.sharding.Mesh, forwarded to every model so the
+        #: whole pipeline runs multi-chip through the orchestrator too
+        self.mesh = mesh
 
         self.args: Dict = dict(
             nspin=Nspin, in_spin=inspin, out_spin=outspin, timeout=timeout,
@@ -125,6 +129,14 @@ class Experiment:
         args = dict(self.args)
         if extra_args:
             args.update(extra_args)
+        if self.mesh is not None and "mesh" not in args:
+            n_dev = self.mesh.devices.size
+            if model_name == "ppo" and args.get("num_agents", 1) % n_dev:
+                print(f"[experiment] ppo runs UNSHARDED: num_agents "
+                      f"{args.get('num_agents', 1)} is not a multiple of "
+                      f"the mesh size {n_dev}")
+            else:
+                args["mesh"] = self.mesh
         x = inits[model_name](**args)
         x.fid_threshold = self.fid_threshold
         if model_name == "ppo":
