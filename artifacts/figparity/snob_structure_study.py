@@ -371,13 +371,30 @@ print(f"[{variant}] collected in {time.time()-t0:.0f}s")
 
 sys.path.insert(0, os.path.join(os.getcwd(), "artifacts", "figparity"))
 from snob_calibrate import rims_of
-shipped = np.asarray(json.load(open(
-    f"/root/reference/experiments/pipeline_nmplus2/"
-    f"ppo_spin_{n}_0-{out}_c_1000.le"))["snob"][str(sigma)]["controller"])
-r_ours = rims_of(top_x, n, out, sigma, jax.random.key(0))
-r_ship = rims_of(shipped, n, out, sigma, jax.random.key(0))
+base = "/root/reference/experiments/pipeline_nmplus2/"
+le_path = base + f"ppo_spin_{n}_0-{out}_c_1000.le"
+if os.path.exists(le_path):
+    shipped = np.asarray(json.load(open(le_path))
+                         ["snob"][str(sigma)]["controller"])
+    r_ours = rims_of(top_x, n, out, sigma, jax.random.key(0))
+    r_ship = rims_of(shipped, n, out, sigma, jax.random.key(0))
+    mode = "le+mc100"
+else:
+    # N=7 transitions ship no .le — but the .mcm metric tensors carry the
+    # per-controller RIM rows of the reference's own snob set (br_1).
+    # Compare B=1 RIM distributions: shipped row at sigma_sim == sigma
+    # vs a fresh B=1 characterisation of our collected set.
+    nl = ("[0.   0.01 0.02 0.03 0.04 0.05 0.06 0.07 0.08 0.09 0.1 ]")
+    mcm = json.load(open(
+        base + f"ppo_spin_{n}_0-{out}_c_1000.le_tn{sigma}_br_1_nlvl"
+        + nl + ".mcm"))
+    row = int(round(sigma / 0.01))
+    r_ship = np.asarray(mcm["snob"][r"$W(.,\delta(x-1))$"])[row]
+    r_ours = rims_of(top_x, n, out, sigma, jax.random.key(0), bootreps=1)
+    mode = "mcm+mc1"
 stat, p = scipy.stats.ks_2samp(r_ours, r_ship)
 print(json.dumps({"variant": variant, "transition": f"N={n} 0->{out}",
+                  "mode": mode,
                   "ours_median": round(float(np.median(r_ours)), 4),
                   "shipped_median": round(float(np.median(r_ship)), 4),
                   "ks": round(float(stat), 4), "p": float(p)}))
