@@ -41,9 +41,13 @@ def _clear_jax_caches_between_modules():
     CPU JIT during a late compile (reproducibly, at the same test —
     isolated runs of that test are fine).  Modules share essentially no
     jitted programs, so per-module clearing costs nothing and keeps the
-    compiler healthy."""
+    compiler healthy.
+
+    Set ROBCHAR_NO_CACHE_CLEAR=1 to disable (used to reproduce/bisect
+    the underlying crash — see artifacts/xla_cpu_segfault_repro.py)."""
     yield
-    jax.clear_caches()
+    if not os.environ.get("ROBCHAR_NO_CACHE_CLEAR"):
+        jax.clear_caches()
 
 
 # ---------------------------------------------------------------------------
