@@ -198,8 +198,8 @@ class Experiment:
                     try:
                         self.args["nspin"] = spin
                         self.args["out_spin"] = outspin
-                        x = inits[model_name](**self.args)
-                        x.fid_threshold = self.fid_threshold
+                        x = self._make_model(inits, model_name,
+                                             self.args.get("noise", 0.05))
                         x.run()
                         cell = self.results[model_name].setdefault(spin, {})
                         for label, value in x.record.items():

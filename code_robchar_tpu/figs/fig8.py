@@ -86,7 +86,13 @@ class NStochOpt(MCDataSim):
             new_keys = list(fcall_dict)
         if os.path.exists(save):
             with open(save, "rb") as f:
-                return pickle.load(f), new_keys
+                arims = pickle.load(f)
+            # a cached tensor may predate the current controller dict; if
+            # the checkpoint counts disagree the keys cannot be trusted
+            # to label its rows (fall back to the index axis)
+            if new_keys is not None and len(new_keys) != len(arims):
+                new_keys = None
+            return arims, new_keys
         if new_keys is None:
             raise KeyError(f"algo {algo!r} not in controller dict")
 

@@ -345,11 +345,15 @@ class ControlOptimizer:
                     est = max(1.0, funccalls / reps_done)
                 remaining = float(self.run_until_completion_its) - funccalls
                 k = min(k, max(1, int(np.ceil(remaining / est))))
-            if n_dev > 1:
-                k = max(n_dev, (k // n_dev) * n_dev)
+            # mesh dispatch needs k to be a multiple of the device count;
+            # round DOWN (never exceed repeats/budget) and run any final
+            # sub-mesh remainder unsharded.
+            shard_this = self.mesh is not None and k >= n_dev
+            if shard_this:
+                k = (k // n_dev) * n_dev
             x0s = jnp.asarray(self.init_points(k))
             keys = jax.random.split(self.next_key(), k)
-            if self.mesh is not None:
+            if shard_this:
                 from code_robchar_tpu.parallel import mesh as pmesh
                 x0s = pmesh.shard_batch(self.mesh, x0s)
                 keys = pmesh.shard_batch(self.mesh, keys)

@@ -237,8 +237,19 @@ class LBFGS(ControlOptimizer):
                 # dead — no else => NameError — but the wiring is the
                 # documented intent): train on RIM_1 of 5 ham-noisy
                 # probes, billed 5 fcalls per objective call.
+                if self.use_fixed_ham:
+                    raise NotImplementedError(
+                        "use_wass_cost with use_fixed_ham is undefined: "
+                        "the wass cost probes fresh ham noise "
+                        "(qnewton.py:447-455) and never consults the "
+                        "fixed ensemble")
                 wass_b = objectives.make_wass_cost_batch(spec, 5)
                 vag_b = objectives.make_fd_gradient_batch(wass_b, d)
+                # the in-band counter carries the 5x billing; scale the
+                # lane-freeze gate so it still means 500 OBJECTIVE calls
+                # (scipy's maxfun counts objective calls, not billed
+                # fcalls)
+                maxfun = maxfun * 5
             else:
                 infid_b = objectives.make_infidelity_batch(spec)
                 vag_b = objectives.make_fd_gradient_batch(infid_b, d)

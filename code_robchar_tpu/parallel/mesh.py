@@ -80,13 +80,9 @@ def sharded_mc_sweep(mesh: Mesh, h0, controllers, noises, key, bootreps: int,
     """
     shard_map = jax.shard_map
 
-    n_dev = mesh.devices.size
     controllers = jnp.asarray(controllers)
     c_global = controllers.shape[0]
-    if c_global % n_dev:
-        raise ValueError(f"controller count {c_global} must be a multiple "
-                         f"of the mesh size {n_dev} (pad with NaN "
-                         f"controllers)")
+    n_dev = check_divisible(mesh, c_global, "controller")
     c_local = c_global // n_dev
     local_chunk = min(chunk, noises.shape[0] * c_local * bootreps)
 
@@ -119,13 +115,9 @@ def sharded_mc_metrics(mesh: Mesh, h0, controllers, noises, key,
     fidelity tensor never exists, on any device."""
     shard_map = jax.shard_map
 
-    n_dev = mesh.devices.size
     controllers = jnp.asarray(controllers)
     c_global = controllers.shape[0]
-    if c_global % n_dev:
-        raise ValueError(f"controller count {c_global} must be a multiple "
-                         f"of the mesh size {n_dev} (pad with NaN "
-                         f"controllers)")
+    n_dev = check_divisible(mesh, c_global, "controller")
     c_local = c_global // n_dev
     local_chunk = min(chunk, noises.shape[0] * c_local * bootreps)
 
@@ -180,9 +172,16 @@ def sharded_run_batch(mesh: Mesh, opt, x0s, keys):
     check_divisible(mesh, k, "restart")
 
     if not hasattr(opt, "_build_batch_fn"):
-        # Adam-style persistent streams: configure the instance's mesh so
-        # its stream state is laid out sharded, then advance one segment.
+        # Adam-style persistent streams: configure the instance's mesh,
+        # RESET any existing stream (otherwise a previously-initialised
+        # unsharded stream would advance instead and the given x0s would
+        # be silently ignored), and advance one sharded segment.  The
+        # instance keeps the mesh afterwards — subsequent run()/segments
+        # of this opt continue sharded.
         opt.mesh = mesh
+        opt._seg_fns = None
+        if hasattr(opt, "_stream"):
+            del opt._stream
         return opt._run_batch(shard_batch(mesh, x0s, axis=0),
                               shard_batch(mesh, keys, axis=0))
 
