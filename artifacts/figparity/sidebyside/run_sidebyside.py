@@ -85,16 +85,18 @@ def make_sandbox(tag):
     (they are deterministic functions of the symlinked shipped .mc), so
     re-runs skip the expensive metric recompute."""
     box = os.path.join("/tmp/sidebyside", tag)
-    exp = os.path.join(box, "experiments", "pipeline_nmplus2")
-    os.makedirs(exp, exist_ok=True)
     os.makedirs(os.path.join(box, "gray_scale_adjusted_paperfigs"),
                 exist_ok=True)
     os.makedirs(os.path.join(box, "paperfigs"), exist_ok=True)
-    src = os.path.join(REF, "experiments", "pipeline_nmplus2")
-    for f in os.listdir(src):
-        dst = os.path.join(exp, f)
-        if not os.path.lexists(dst):
-            os.symlink(os.path.join(src, f), dst)
+    for pipe in ("pipeline_nmplus2",
+                 "pipeline_nonstoch_experiments_others_comp"):
+        exp = os.path.join(box, "experiments", pipe)
+        os.makedirs(exp, exist_ok=True)
+        src = os.path.join(REF, "experiments", pipe)
+        for f in os.listdir(src):
+            dst = os.path.join(exp, f)
+            if not os.path.lexists(dst):
+                os.symlink(os.path.join(src, f), dst)
     return box
 
 
@@ -167,8 +169,19 @@ def run_reference_side():
         a.get_ARIM(noise_keys=NOISES[:6], plot_error=True, ax2=ax)
         plt.close("all")
 
+    # fig 8: the reference class auto-plots in __init__; the shipped
+    # ARIM .pickle caches make every get_arims a pure cache hit
+    PHASE[1] = "fig8"
+    import gen_fig_8_arim_fcall_scaling as g8
+    g8.NStochOpt(experiment_name="pipeline_nonstoch_experiments_"
+                 "others_comp", Nspin=5, outspin=2, bootreps=100,
+                 parallel=False, numcontrollers=100, filemarker=".le",
+                 noises=NOISES)
+    plt.close("all")
+
     sys.path.remove(REF)
-    for m in ("generate_fig3", "generate_arim_all_fig5", "mcsim",
+    for m in ("generate_fig3", "generate_arim_all_fig5",
+              "gen_fig_8_arim_fcall_scaling", "mcsim",
               "noise_model", "wd_sortof_fast_implementation"):
         sys.modules.pop(m, None)
 
@@ -198,6 +211,19 @@ def run_our_side():
         _, ax = plt.subplots()
         a.get_ARIM(noise_keys=NOISES[:6], plot_error=True, ax=ax)
         plt.close("all")
+
+    # fig 8 from the same shipped pickles; reference_axis_compat replays
+    # the reference's index * 1e6 x-axis quirk so the marks align
+    PHASE[1] = "fig8"
+    from code_robchar_tpu.figs import NStochOpt
+    s8 = NStochOpt("pipeline_nonstoch_experiments_others_comp", Nspin=5,
+                   inspin=0, outspin=2, noises=NOISES, bootreps=100,
+                   numcontrollers=100, filemarker=".le",
+                   fig_dir="paperfigs",
+                   global_experiments_directory="experiments/",
+                   reference_axis_compat=True)
+    s8.all_noises_combined_scaling_plot()
+    plt.close("all")
 
 
 #: Deterministic data marks (curves, heatmaps) must agree to 1e-9.
