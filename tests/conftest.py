@@ -37,14 +37,16 @@ def _clear_jax_caches_between_modules():
     """Release compiled executables at module boundaries.
 
     A full serial suite run compiles ~10^2 distinct XLA CPU programs in
-    one process; letting them all stay live eventually segfaults the XLA
-    CPU JIT during a late compile (reproducibly, at the same test —
-    isolated runs of that test are fine).  Modules share essentially no
-    jitted programs, so per-module clearing costs nothing and keeps the
-    compiler healthy.
+    one process; letting them all stay live segfaults jaxlib 0.9.0's
+    native compile path (`backend_compile_and_load`) during a late
+    compile — diagnosed upstream-of-repo in
+    artifacts/xla_cpu_segfault_findings.md (reproducibly at the same
+    test; isolated runs of that test are fine).  Modules share
+    essentially no jitted programs, so per-module clearing costs
+    nothing and keeps the compiler healthy.
 
-    Set ROBCHAR_NO_CACHE_CLEAR=1 to disable (used to reproduce/bisect
-    the underlying crash — see artifacts/xla_cpu_segfault_repro.py)."""
+    Set ROBCHAR_NO_CACHE_CLEAR=1 to reproduce the crash (bisection
+    hook for future jax upgrades)."""
     yield
     if not os.environ.get("ROBCHAR_NO_CACHE_CLEAR"):
         jax.clear_caches()
