@@ -59,6 +59,16 @@ def _clear_jax_caches_between_modules():
 # ---------------------------------------------------------------------------
 
 _SLOW_TESTS = {
+    # round-3 additions
+    "tests/test_models.py::test_budget_overshoot_bounded",
+    "tests/test_models.py::test_lbfgs_outcome_distribution_matches_scipy",
+    "tests/test_models.py::test_lbfgs_use_wass_cost_changes_objective",
+    "tests/test_models.py::test_lbfgs_wass_billing_is_reps_per_eval",
+    "tests/test_reference_interop.py::test_snob_calibration_ks_guardrail",
+    "tests/test_reference_interop.py::test_snob_heldout_ks_recorded",
+    "tests/test_parallel.py::test_lbfgs_mesh_kwarg_public_run",
+    "tests/test_parallel.py::test_adam_mesh_kwarg_public_run",
+    "tests/test_parallel.py::test_ppo_mesh_kwarg_public_run",
     "tests/test_realform.py::test_jacobi_herm_matches_lapack",
     "tests/test_mc.py::test_fused_metric_sweep_chunk_invariance",
     "tests/test_propagate.py::test_jacobi_eigh_matches_lapack",
