@@ -52,6 +52,10 @@ class ControlOptimizer:
     #: everywhere else the flag must fail loudly instead of silently
     #: training a different objective than asked
     supports_wass_cost = False
+    #: True for optimizers whose "batch" is a persistent stream set (Adam)
+    #: rather than independent restarts — the run loop must never shrink
+    #: or reshape their batch between dispatches
+    persistent_streams = False
 
     def __init__(self, nspin, in_spin, out_spin, bmin=-10, bmax=10,
                  max_time=30, repeats=1000000, fid_threshold=0.98, log=False,
@@ -338,7 +342,7 @@ class ControlOptimizer:
             # flat-billed SNOB/NM) and dispatch only what the remaining
             # budget can pay for.
             if self.run_until_told_to_stop and self.run_until_completion_its \
-                    and not getattr(self, "persistent_streams", False):
+                    and not self.persistent_streams:
                 est = float(getattr(self, "budget_per_restart", 300)) * \
                     (self.train_size if self.use_fixed_ham else 1)
                 if reps_done:

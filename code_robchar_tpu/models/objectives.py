@@ -155,6 +155,41 @@ def _make_fid_lanes(n: int, in_spin: int, out_spin: int):
     return fid_lanes
 
 
+def _assemble_lanes(h0r, xs, zdiag=None, znn=None):
+    """(n, n, K) lanes Hamiltonians: drift + per-lane diagonal controls
+    (+ optional pre-scaled structured-noise draws)."""
+    n = h0r.shape[-1]
+    k = xs.shape[0]
+    dt = h0r.dtype
+    a = jnp.broadcast_to(h0r[:, :, None], (n, n, k)).astype(dt)
+    add_diag = xs[:, :n].T.astype(dt)
+    if zdiag is not None:
+        add_diag = add_diag + zdiag.T
+    for i in range(n):
+        a = a.at[i, i].add(add_diag[i])
+    if znn is not None:
+        for i in range(1, n):
+            a = a.at[i, i - 1].add(znn[:, i - 1])
+            a = a.at[i - 1, i].add(znn[:, i - 1])
+    return a
+
+
+def _structured_draws_lanes(key, count, n, noise, dt):
+    """Per-lane real structured-noise draws (qnewton.py:366-379): one
+    (zdiag (count, n), znn (count, n-1)) pair per lane, keys folded from
+    the lane index with the reference's 3-way split/order (the third
+    stream is the complex-offdiagonal part, unused in the real
+    training-noise variant)."""
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        key, jnp.arange(count, dtype=jnp.uint32))
+    parts = jax.vmap(lambda kk: jax.random.split(kk, 3))(keys)
+    zdiag = jax.vmap(
+        lambda kk: jax.random.normal(kk, (n,), dt))(parts[:, 0]) * noise
+    znn = jax.vmap(
+        lambda kk: jax.random.normal(kk, (n - 1,), dt))(parts[:, 1]) * noise
+    return zdiag, znn
+
+
 def make_infidelity_batch(spec: ObjectiveSpec):
     """(xs (K, d), key) -> (infids (K,), fcalls (K,)) — the batched lanes
     counterpart of make_infidelity (same noise semantics and billing; draw
@@ -165,21 +200,6 @@ def make_infidelity_batch(spec: ObjectiveSpec):
     fixed_r = jnp.real(spec.fixed_hams) if spec.fixed_hams is not None \
         else None
     fid_lanes = _make_fid_lanes(n, spec.in_spin, spec.out_spin)
-
-    def assemble(xs, zdiag, znn):
-        k = xs.shape[0]
-        dt = h0r.dtype
-        a = jnp.broadcast_to(h0r[:, :, None], (n, n, k)).astype(dt)
-        add_diag = xs[:, :n].T.astype(dt)
-        if zdiag is not None:
-            add_diag = add_diag + zdiag.T
-        for i in range(n):
-            a = a.at[i, i].add(add_diag[i])
-        if znn is not None:
-            for i in range(1, n):
-                a = a.at[i, i - 1].add(znn[:, i - 1])
-                a = a.at[i - 1, i].add(znn[:, i - 1])
-        return a
 
     def infid(xs, key):
         k = xs.shape[0]
@@ -205,18 +225,8 @@ def make_infidelity_batch(spec: ObjectiveSpec):
 
         zdiag = znn = None
         if spec.ham_noisy:
-            # real-coupling training noise (qnewton.py:366-379), one
-            # batched draw per lane with the structured split/order
-            keys = jax.vmap(jax.random.fold_in, (None, 0))(
-                kh, jnp.arange(k, dtype=jnp.uint32))
-            parts = jax.vmap(lambda kk: jax.random.split(kk, 3))(keys)
-            zdiag = jax.vmap(
-                lambda kk: jax.random.normal(kk, (n,), dt))(parts[:, 0]) \
-                * spec.noise
-            znn = jax.vmap(
-                lambda kk: jax.random.normal(kk, (n - 1,), dt))(
-                    parts[:, 1]) * spec.noise
-        a = assemble(xs, zdiag, znn)
+            zdiag, znn = _structured_draws_lanes(kh, k, n, spec.noise, dt)
+        a = _assemble_lanes(h0r, xs, zdiag, znn)
         fid = fid_lanes(a, t)
         calls = jnp.full((xs.shape[0],), 1, jnp.int32)
         if spec.fid_noisy:
@@ -309,24 +319,9 @@ def make_wass_cost_batch(spec: ObjectiveSpec, bootstrap_reps: int = 5):
         dt = h0r.dtype
         kr = k * bootstrap_reps
         # one real-offdiagonal structured draw per (lane, rep)
-        keys = jax.vmap(jax.random.fold_in, (None, 0))(
-            key, jnp.arange(kr, dtype=jnp.uint32))
-        parts = jax.vmap(lambda kk: jax.random.split(kk, 2))(keys)
-        zdiag = jax.vmap(
-            lambda kk: jax.random.normal(kk, (n,), dt))(parts[:, 0]) \
-            * spec.noise
-        znn = jax.vmap(
-            lambda kk: jax.random.normal(kk, (n - 1,), dt))(parts[:, 1]) \
-            * spec.noise
-
+        zdiag, znn = _structured_draws_lanes(key, kr, n, spec.noise, dt)
         xr = jnp.repeat(xs, bootstrap_reps, axis=0)          # (K*R, d)
-        a = jnp.broadcast_to(h0r[:, :, None], (n, n, kr)).astype(dt)
-        add_diag = xr[:, :n].T.astype(dt) + zdiag.T
-        for i in range(n):
-            a = a.at[i, i].add(add_diag[i])
-        for i in range(1, n):
-            a = a.at[i, i - 1].add(znn[:, i - 1])
-            a = a.at[i - 1, i].add(znn[:, i - 1])
+        a = _assemble_lanes(h0r, xr, zdiag, znn)
         fids = fid_lanes(a, jnp.abs(xr[:, n]).astype(dt))
         fids = jnp.clip(fids, 0.0, 1.0).reshape(k, bootstrap_reps)
         return wd_from_ideal(fids), \

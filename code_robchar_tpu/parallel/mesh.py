@@ -165,8 +165,6 @@ def sharded_run_batch(mesh: Mesh, opt, x0s, keys):
     trajectory of the same optimizer; results are statistically
     equivalent.
     """
-    shard_map = jax.shard_map
-
     x0s = jnp.asarray(x0s)
     k = x0s.shape[0]
     check_divisible(mesh, k, "restart")
@@ -184,6 +182,8 @@ def sharded_run_batch(mesh: Mesh, opt, x0s, keys):
             del opt._stream
         return opt._run_batch(shard_batch(mesh, x0s, axis=0),
                               shard_batch(mesh, keys, axis=0))
+
+    shard_map = jax.shard_map
 
     # A FRESH batch fn per sharded call: tracing the optimizer's cached
     # jitted _batch_fn inside shard_map poisons its trace cache for
