@@ -167,9 +167,17 @@ class ExploringRIMK(MCDataSim):
         q95 = np.array(wd["Q th. 0.95"])[idx]
         q98 = np.array(wd["Q th. 0.98"])[idx]
 
+        def _spear(a, b):
+            # degenerate panels (all-equal Q at sigma_sim = 0) have no
+            # defined rank correlation; annotate 0 instead of letting
+            # scipy emit ConstantInputWarning + NaN
+            if np.all(a == a.flat[0]) or np.all(b == b.flat[0]):
+                return 0.0
+            return round(spearmanr(a, b)[0], 3)
+
         def panel(ax, j, fs):
-            s1 = round(spearmanr(-q95[j], rim[j])[0], 3)
-            s2 = round(spearmanr(-q98[j], rim[j])[0], 3)
+            s1 = _spear(-q95[j], rim[j])
+            s2 = _spear(-q98[j], rim[j])
             ax.scatter(-q95[j], rim[j], alpha=0.5, c="blue",
                        label=r"$\mathcal{F}_{\rm Th}$" + "=0.95" +
                              f" \n Spearman={s1}")
