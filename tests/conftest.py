@@ -60,6 +60,11 @@ def _clear_jax_caches_between_modules():
 
 _SLOW_TESTS = {
     # round-3 additions
+    "tests/test_pallas.py::test_pallas_sym_grad_matches_lanes_interpret",
+    "tests/test_pallas.py::test_pallas_sym_amp_matches_lanes_interpret",
+    "tests/test_parallel.py::"
+    "test_sharded_zoo_restarts_deterministic_and_equivalent",
+    "tests/test_parallel.py::test_sharded_zoo_all_families_smoke",
     "tests/test_models.py::test_budget_overshoot_bounded",
     "tests/test_models.py::test_lbfgs_outcome_distribution_matches_scipy",
     "tests/test_models.py::test_lbfgs_use_wass_cost_changes_objective",
