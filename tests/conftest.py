@@ -65,6 +65,7 @@ _SLOW_TESTS = {
     "tests/test_parallel.py::"
     "test_sharded_zoo_restarts_deterministic_and_equivalent",
     "tests/test_parallel.py::test_sharded_zoo_all_families_smoke",
+    "tests/test_parallel.py::test_experiment_sharded_ccollector_end_to_end",
     "tests/test_models.py::test_budget_overshoot_bounded",
     "tests/test_models.py::test_lbfgs_outcome_distribution_matches_scipy",
     "tests/test_models.py::test_lbfgs_use_wass_cost_changes_objective",

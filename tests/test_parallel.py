@@ -185,6 +185,27 @@ def test_experiment_forwards_mesh(tmp_path):
     assert p2.mesh is mesh
 
 
+def test_experiment_sharded_ccollector_end_to_end(tmp_path):
+    """Whole-pipeline multi-chip: Experiment(mesh=...) runs a
+    landscape-exploration collection with the restart batches sharded
+    over the 8-device mesh and still emits the reference .le schema."""
+    import json
+    from code_robchar_tpu.exp.experiment import Experiment
+
+    mesh = make_mesh(8)
+    e = Experiment("meshe2e", Nspin=4, inspin=0, outspin=2, runs=16,
+                   noises=np.asarray([0.05]), fid_threshold=0.0,
+                   ham_noisy=True, run_until_told_to_stop=True,
+                   run_until_completion_its=20000, testing=True,
+                   global_dir=str(tmp_path), mesh=mesh)
+    e.models = ["snob"]
+    e.args["restart_batch"] = 16
+    e.singlerun_ccollector()
+    data = json.load(open(e.filename))
+    ctrls = data["snob"]["0.05"]["controller"]
+    assert 1 <= len(ctrls) <= 16 and len(ctrls[0]) == 5
+
+
 def test_ppo_mesh_kwarg_public_run():
     """PPO_en(mesh=...).run(): the agent axis shards over the mesh via
     the public constructor (VERDICT r2 next #1a — no ad hoc assembly)."""
