@@ -92,6 +92,7 @@ class PPO_en:
                  use_wass_value_targets: bool = False,
                  wass_bootstrap_reps: int = 30,
                  rollout_sweeps: Optional[int] = None,
+                 fused_critic: Optional[bool] = None,
                  mesh=None):
         self.nspin = nspin
         self.In = in_spin
@@ -137,6 +138,11 @@ class PPO_en:
         # dtype-accurate default; RL reward shaping tolerates ~1e-3, so
         # 4 sweeps at f32 is a sanctioned throughput mode)
         self.rollout_sweeps = rollout_sweeps
+        # VMEM-resident fused critic regression (ops/pallas_critic): runs
+        # all train_v_iters Adam steps in one Pallas launch instead of a
+        # bandwidth-bound XLA fori_loop.  None = auto (on for TPU
+        # backends, like the rollout physics kernel)
+        self.fused_critic = fused_critic
 
         # the Experiment driver mutates .env.noise post-construction
         # (noise_analysis.py:343-344), so the env wrapper is the config home
@@ -220,6 +226,12 @@ class PPO_en:
         # XLA lanes path costs ~10^2 tiny-fusion launches per rotation
         # chain; launch overhead dominates a 500-step sequential scan)
         use_pallas = jax.default_backend() not in ("cpu",)
+        # The value loop is the epoch's cost center (~340 of ~415 ms at
+        # 512 agents): 200 full-batch Adam steps whose activations and
+        # moments round-trip HBM every iteration under XLA.  The fused
+        # kernel keeps one agent's whole regression state in VMEM.
+        use_fused_critic = (self.fused_critic if self.fused_critic
+                            is not None else use_pallas)
         eff_sweeps = (sweeps if sweeps is not None
                       else realform._sweeps_for(dt, n))
 
@@ -394,19 +406,20 @@ class PPO_en:
             params, pi_opt, pi_iters, kl = jax.lax.while_loop(
                 pi_cond, pi_body, (params, pi_opt, 0, kl0))
 
-            def v_loss(p):
-                _, _, v = apply(p, obs)
-                return jnp.mean((v - ret) ** 2)
+            if not use_fused_critic:
+                def v_loss(p):
+                    _, _, v = apply(p, obs)
+                    return jnp.mean((v - ret) ** 2)
 
-            def v_body(_, carry):
-                p, opt = carry
-                g = jax.grad(v_loss)(p)
-                updates, opt = vf_tx.update(g, opt, p)
-                p = optax.apply_updates(p, updates)
-                return p, opt
+                def v_body(_, carry):
+                    p, opt = carry
+                    g = jax.grad(v_loss)(p)
+                    updates, opt = vf_tx.update(g, opt, p)
+                    p = optax.apply_updates(p, updates)
+                    return p, opt
 
-            params, vf_opt = jax.lax.fori_loop(0, train_v_iters, v_body,
-                                               (params, vf_opt))
+                params, vf_opt = jax.lax.fori_loop(0, train_v_iters, v_body,
+                                                   (params, vf_opt))
             return params, pi_opt, vf_opt, kl, pi_iters
 
         if self.use_wass_value_targets:
@@ -461,10 +474,19 @@ class PPO_en:
             # per-agent updates: move the agent axis in front
             def to_af(x):
                 return jnp.moveaxis(x, 0, 1)
+            obs_af, rets_af = to_af(obs), to_af(rets)
             params, pi_opt, vf_opt, kl, pi_iters = jax.vmap(update)(
                 st.params, st.pi_opt, st.vf_opt,
-                (to_af(obs), to_af(act), to_af(advs), to_af(logp),
-                 to_af(rets)))
+                (obs_af, to_af(act), to_af(advs), to_af(logp), rets_af))
+            if use_fused_critic:
+                # value regression for ALL agents in one Pallas launch
+                # (same semantics as the fori_loop in `update`, tested
+                # leaf-for-leaf in tests/test_pallas.py)
+                from code_robchar_tpu.ops.pallas_critic import critic_train
+                params, vf_opt = critic_train(
+                    params, vf_opt, obs_af, rets_af,
+                    iters=train_v_iters, lr=vf_lr,
+                    fast_dot=use_pallas, interpret=not use_pallas)
             st = AgentState(params=params, pi_opt=pi_opt, vf_opt=vf_opt,
                             env=env_st, obs=obs_f, ep_len=ep_len, key=key)
             out = EpochOut(rewards=to_af(rew), true_fids=to_af(true_fid),

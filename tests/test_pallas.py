@@ -62,3 +62,55 @@ def test_pallas_sym_amp_matches_lanes_interpret(rng):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_i), np.asarray(ref_i),
                                atol=2e-5)
+
+
+def test_pallas_critic_matches_optax_interpret(rng):
+    """The fused critic-training kernel must advance (params, vf_opt)
+    exactly like the vmapped optax fori_loop it replaces (the PPO value
+    regression, ppo.py:289-334): critic leaves + Adam moments converge to
+    the same state, pi leaves and their moments stay bit-identical."""
+    import optax
+    from code_robchar_tpu.models import actor_critic as ac
+    from code_robchar_tpu.ops.pallas_critic import critic_train
+
+    A, T, d, iters, lr = 3, 37, 6, 7, 1e-3
+    model = ac.ActorCritic(act_dim=d - 1)
+    keys = jax.random.split(jax.random.key(0), A)
+    obs0 = jnp.zeros((d,), jnp.float32)
+    params = jax.vmap(lambda k: model.init(k, obs0))(keys)
+    tx = optax.adam(lr)
+    vf_opt = jax.vmap(tx.init)(params)
+    obs = jnp.asarray(rng.normal(size=(A, T, d)).astype(np.float32))
+    rets = jnp.asarray(rng.normal(size=(A, T)).astype(np.float32))
+
+    def ref_update(p, opt, o, r):
+        def v_loss(pp):
+            _, _, v = model.apply(pp, o)
+            return jnp.mean((v - r) ** 2)
+
+        def body(_, carry):
+            pp, oo = carry
+            g = jax.grad(v_loss)(pp)
+            u, oo = tx.update(g, oo, pp)
+            return optax.apply_updates(pp, u), oo
+
+        return jax.lax.fori_loop(0, iters, body, (p, opt))
+
+    want_p, want_opt = jax.vmap(ref_update)(params, vf_opt, obs, rets)
+    # block=2 with A=3 exercises the pad-to-block path
+    got_p, got_opt = critic_train(params, vf_opt, obs, rets, iters=iters,
+                                  lr=lr, fast_dot=False, block=2,
+                                  interpret=True)
+    for wl, gl in zip(jax.tree.leaves(want_p), jax.tree.leaves(got_p)):
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(wl),
+                                   atol=2e-6, rtol=1e-5)
+    for wl, gl in zip(jax.tree.leaves(want_opt), jax.tree.leaves(got_opt)):
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(wl),
+                                   atol=2e-6, rtol=1e-5)
+    # pi leaves untouched bit-for-bit
+    for br in ("pi",):
+        w = jax.tree.leaves(params["params"][br])
+        g = jax.tree.leaves(got_p["params"][br])
+        for wl, gl in zip(w, g):
+            np.testing.assert_array_equal(np.asarray(gl), np.asarray(wl))
+    assert np.all(np.asarray(got_opt[0].count) == iters)

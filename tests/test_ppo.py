@@ -47,3 +47,45 @@ def test_ppo_fixed_ham_fcall_multiplier():
     ppo.run(steps_per_epoch=32, train_pi_iters=2, train_v_iters=2)
     # each env step bills train_size calls (ppo.py:365-366)
     assert ppo.record["func_calls"] % 8 == 0
+
+
+def test_ppo_fused_critic_matches_fori_loop_epoch():
+    """One jitted epoch with the fused Pallas critic (interpret mode on
+    CPU) must match the XLA fori_loop critic path: same rollout, same
+    post-update parameters to f32 tolerance."""
+    import jax
+    import numpy as np
+
+    def one_epoch(fused):
+        ppo = PPO_en(3, 0, 2, testing=True, num_agents=2, seed=7,
+                     fused_critic=fused)
+        fn = ppo._build_epoch(steps_per_epoch=16, clip_ratio=0.2,
+                              pi_lr=3e-3, vf_lr=1e-3, max_ep_len=1000,
+                              train_pi_iters=2, train_v_iters=3,
+                              target_kl=0.01)
+        key = jax.random.key(0)
+        st = jax.vmap(ppo._init_agent)(jax.random.split(key, 2))
+        return fn(st)
+
+    st_a, out_a = one_epoch(False)
+    st_b, out_b = one_epoch(True)
+    np.testing.assert_allclose(np.asarray(out_b.true_fids),
+                               np.asarray(out_a.true_fids), atol=1e-6)
+    # pi branch must be bit-identical (the kernel only owns the critic)
+    for wl, gl in zip(jax.tree.leaves(st_a.params["params"]["pi"]),
+                      jax.tree.leaves(st_b.params["params"]["pi"])):
+        np.testing.assert_array_equal(np.asarray(gl), np.asarray(wl))
+    # critic leaves: the fallback runs its intermediates in f64 under the
+    # test regime while the kernel is f32; Adam turns a tiny gradient
+    # sign flip into a full lr-sized step, so the bound is lr-scaled
+    # (exact f32 semantics are pinned in tests/test_pallas.py)
+    atol = 2 * 1e-3 * 3  # 2 * vf_lr * train_v_iters
+    for wl, gl in zip(jax.tree.leaves(st_a.params["params"]["v"]),
+                      jax.tree.leaves(st_b.params["params"]["v"])):
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(wl),
+                                   atol=atol)
+    assert np.all(np.asarray(st_b.vf_opt[0].count) == 3)
+    for wl, gl in zip(jax.tree.leaves(st_a.vf_opt[0].nu),
+                      jax.tree.leaves(st_b.vf_opt[0].nu)):
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(wl),
+                                   atol=1e-4, rtol=2e-3)
