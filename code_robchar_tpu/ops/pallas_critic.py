@@ -60,7 +60,18 @@ def _build(T: int, Tp: int, d1: int, h: int, iters: int, lr: float,
     agent's chain is serialization-bound, not FLOP-bound).  Measured on
     v5e at T=500/h=100: block=1 -> 834k, block=2 -> 977k, block=4 ->
     956k env-steps/s epoch throughput; block=8 exceeds the 16 MB scoped
-    VMEM limit (~2.7 MB/agent of weights+moments+activations)."""
+    VMEM limit (~2.7 MB/agent of weights+moments+activations).
+
+    Roofline (v5e, measured): the kernel is VPU-bound, not MXU-bound —
+    per iteration-pair the VPU owes ~2x(tanh on (512,100) twice + Adam
+    on 11.2k params + elementwise backward), which models to ~250 ms
+    for 768 agents x 200 iters and matches the measured ~236 ms.  A
+    variant that moved the three width-1 value-head dots (K/N padded
+    1 -> 128 on the MXU) to VPU broadcast/reduction forms was REJECTED
+    by measurement: 512-agent epochs went 217 -> 245 ms because the
+    added VPU work lands on the critical unit while the MXU idles.
+    Further gains need a cheaper tanh, which would break parity with
+    the reference's torch critic."""
     Ba = block
 
     def kernel(count_ref, wb1_ref, wb2_ref, wb3_ref,
