@@ -222,6 +222,9 @@ class PPO_en:
         def apply(params, obs):
             return model.apply(params, obs)
 
+        def apply_actor(params, obs):
+            return model.apply(params, obs, method=ac.ActorCritic.actor)
+
         # One fused Pallas kernel per physics call on TPU backends (the
         # XLA lanes path costs ~10^2 tiny-fusion launches per rotation
         # chain; launch overhead dominates a 500-step sequential scan)
@@ -329,9 +332,14 @@ class PPO_en:
                 eps, zdiag, znn, ks = xs
 
                 obs = jnp.concatenate([action, tstep[:, None]], axis=1)
-                mu, log_std, v = jax.vmap(apply)(st.params, obs)
+                # actor head ONLY: the sequential dependency is just
+                # obs -> mu -> action.  Values and logps are recomputed
+                # for the whole trajectory in ONE batched forward after
+                # the scan, so the v-head weights (half the per-agent
+                # parameter bytes) are read from HBM once per epoch
+                # instead of once per step.
+                mu, log_std = jax.vmap(apply_actor)(st.params, obs)
                 a = mu + jnp.exp(log_std) * eps
-                logp = ac.gaussian_logp(mu, log_std, a)
 
                 new_action = _wrap_action(action + a[:, :n], cfg.bmax)
                 raw_t = tstep + a[:, n]
@@ -363,7 +371,7 @@ class PPO_en:
                 next_action = jnp.where(terminal[:, None], 0.0, new_action)
                 next_t = jnp.where(terminal, 0.0, t)
                 ep_len = jnp.where(terminal, 0, ep_len)
-                out = (obs, a, reward, v, logp, obs2, done, ttimeout, fcalls)
+                out = (obs, a, reward, obs2, done, ttimeout, fcalls)
                 return (next_action, next_t, ep_len), out
 
             carry0 = (st.env.action, st.env.timestep, st.ep_len)
@@ -434,9 +442,19 @@ class PPO_en:
         def epoch(st: AgentState):
             """st leaves carry a leading agent axis A (>= 1)."""
             (env_st, obs_f, ep_len, key), traj = rollout(st)
-            (obs, act, rew, val, logp, obs2, done, ttimeout, fc) = traj
+            (obs, act, rew, obs2, done, ttimeout, fc) = traj
             # traj leaves are (T, A, ...)
             t_len, a_cnt = rew.shape
+
+            # values + logps for the whole trajectory in ONE batched
+            # forward per agent (weights read once, MXU-friendly M=T
+            # matmuls) — numerically the same network on the same obs
+            # the scan visited
+            def val_logp(p, o, a):
+                mu, log_std, v = apply(p, o)
+                return v, ac.gaussian_logp(mu, log_std, a)
+            val, logp = jax.vmap(val_logp, in_axes=(0, 1, 1),
+                                 out_axes=1)(st.params, obs, act)
 
             # true fidelities for the WHOLE trajectory in one lanes batch
             stores_flat = obs2.reshape(t_len * a_cnt, d)
