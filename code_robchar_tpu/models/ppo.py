@@ -93,6 +93,7 @@ class PPO_en:
                  wass_bootstrap_reps: int = 30,
                  rollout_sweeps: Optional[int] = None,
                  fused_critic: Optional[bool] = None,
+                 fused_rollout: Optional[bool] = None,
                  mesh=None):
         self.nspin = nspin
         self.In = in_spin
@@ -143,6 +144,10 @@ class PPO_en:
         # bandwidth-bound XLA fori_loop.  None = auto (on for TPU
         # backends, like the rollout physics kernel)
         self.fused_critic = fused_critic
+        # one-launch-per-step rollout (ops/pallas_rollout): actor MLP +
+        # env transition + Jacobi physics fused; None = auto (TPU, in
+        # the supported regime — see pallas_rollout module docstring)
+        self.fused_rollout = fused_rollout
 
         # the Experiment driver mutates .env.noise post-construction
         # (noise_analysis.py:343-344), so the env wrapper is the config home
@@ -235,6 +240,13 @@ class PPO_en:
         # kernel keeps one agent's whole regression state in VMEM.
         use_fused_critic = (self.fused_critic if self.fused_critic
                             is not None else use_pallas)
+        # fused rollout step: supported for the production training
+        # regime only (real structured/no ham noise, exact reward, no
+        # fixed-ham ensemble); agent count must tile the lane dim.
+        # Opt-in (measured +1-3%/epoch only: the per-step launch still
+        # re-reads the actor weights from HBM, see pallas_rollout)
+        use_fused_rollout = (self.fused_rollout is True
+                             and fixed_r is None and not cfg.fid_noisy)
         eff_sweeps = (sweeps if sweeps is not None
                       else realform._sweeps_for(dt, n))
 
@@ -326,6 +338,61 @@ class PPO_en:
                     k_shot, t_len * a_cnt).reshape(t_len, a_cnt)
             else:
                 ks_all = jnp.zeros((t_len, 1), jnp.int32)
+
+            if use_fused_rollout and a_cnt % 64 == 0:
+                # one Pallas launch per step; the noise draws above are
+                # transposed (not re-drawn) so this path sees the SAME
+                # randomness as the XLA scan body below
+                tile = 128 if a_cnt % 128 == 0 else 64
+                from code_robchar_tpu.ops import pallas_rollout as pr
+                f32 = jnp.float32
+                w1, w2, w3, ls = pr.fold_actor_weights(st.params)
+                hdim = w2.shape[1]
+                step_k = pr.make_actor_env_step(
+                    n, hdim, cfg.in_spin, cfg.out_spin, eff_sweeps,
+                    float(cfg.bmax), float(cfg.maxtime), int(max_ep_len),
+                    bool(cfg.ham_noisy), tile, interpret=not use_pallas)
+                h0f = jnp.reshape(h0.astype(f32), (n * n, 1))
+                epsT = jnp.moveaxis(eps_all, -1, 1).astype(f32)
+                if cfg.ham_noisy:
+                    zdT = jnp.moveaxis(zdiag_all, -1, 1).astype(f32)
+                    znT = jnp.moveaxis(znn_all, -1, 1).astype(f32)
+                else:
+                    zdT = jnp.zeros((t_len, n, a_cnt), f32)
+                    znT = jnp.zeros((t_len, n - 1, a_cnt), f32)
+                carry0 = (st.env.action.T.astype(f32),
+                          st.env.timestep[None, :].astype(f32),
+                          st.ep_len[None, :].astype(f32))
+
+                def stepk(carry, xs):
+                    actT, tT, epT = carry
+                    e, zd, zn = xs
+                    (obsT, aT, fidT, obs2T, dT, toT, nact, nt,
+                     nep) = step_k(w1, w2, w3, ls, h0f, actT, tT, epT,
+                                   e, zd, zn)
+                    return (nact, nt, nep), (obsT, aT, fidT, obs2T,
+                                             dT, toT)
+
+                (actT, tT, epT), trajT = jax.lax.scan(
+                    stepk, carry0, (epsT, zdT, znT),
+                    length=steps_per_epoch)
+                obsT, aT, fidT, obs2T, dT, toT = trajT
+
+                def tr(x):           # (T, feat, A) -> (T, A, feat)
+                    return jnp.moveaxis(x, 1, 2).astype(dt)
+
+                action = actT.T.astype(dt)
+                tstep = tT[0].astype(dt)
+                env_st = EnvState(action=action, timestep=tstep,
+                                  final_time=tstep)
+                obs_f = jnp.concatenate([action, tstep[:, None]], axis=1)
+                keys_out2 = jax.random.split(key_out, a_cnt)
+                traj = (tr(obsT), tr(aT), fidT[:, 0, :].astype(dt),
+                        tr(obs2T), dT[:, 0, :] != 0.0,
+                        toT[:, 0, :] != 0.0,
+                        jnp.ones((t_len, a_cnt), jnp.int32))
+                return (env_st, obs_f, epT[0].astype(st.ep_len.dtype),
+                        keys_out2), traj
 
             def step(carry, xs):
                 action, tstep, ep_len = carry

@@ -184,6 +184,70 @@ def make_fidelity_kernel(n: int, in_spin: int, out_spin: int,
     return run
 
 
+def sym_sweeps_on_scratch(n, sweeps, a, v, eps=1e-7):
+    """Cyclic symmetric Jacobi on VMEM scratch ``a`` ((n*n, B): entry
+    (i, j) on sublane row i*n+j, batch on lanes), carrying the rows of
+    ``v`` ((R*n, B), R carried eigenvector rows) through the rotations.
+    Shared by the amplitude kernel below and the fused rollout step
+    kernel (ops/pallas_rollout.py); symmetric-update formulation
+    (conjugate-mirror rows + closed-form pivot block)."""
+    for _ in range(sweeps):
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                app = a[p * n + p, :]
+                aqq = a[q * n + q, :]
+                apq = a[p * n + q, :]
+                r = jnp.abs(apq)
+                active = r > eps * (jnp.abs(app) + jnp.abs(aqq) + r)
+                safe = jnp.where(active, apq, 1.0)
+                tau = (aqq - app) / (2.0 * safe)
+                t = jnp.sign(tau) / (jnp.abs(tau) +
+                                     jnp.sqrt(1.0 + tau * tau))
+                t = jnp.where(tau == 0.0, 1.0, t)
+                c = 1.0 / jnp.sqrt(1.0 + t * t)
+                s = t * c
+                c = jnp.where(active, c, 1.0)
+                s = jnp.where(active, s, 0.0)
+                t_eff = jnp.where(active, t, 0.0)
+
+                # columns p, q at rows i not in {p, q}, mirrored into
+                # rows p, q by symmetry; closed-form pivot block
+                for i in range(n):
+                    if i == p or i == q:
+                        continue
+                    cp = a[i * n + p, :]
+                    cq = a[i * n + q, :]
+                    ncp = c * cp - s * cq
+                    ncq = s * cp + c * cq
+                    a[i * n + p, :] = ncp
+                    a[p * n + i, :] = ncp
+                    a[i * n + q, :] = ncq
+                    a[q * n + i, :] = ncq
+                z = jnp.where(active, 0.0, apq)
+                a[p * n + p, :] = app - t_eff * apq
+                a[q * n + q, :] = aqq + t_eff * apq
+                a[p * n + q, :] = z
+                a[q * n + p, :] = z
+                for rr in range(v.shape[0] // n):      # carried V rows
+                    wp = v[rr * n + p, :]
+                    wq = v[rr * n + q, :]
+                    v[rr * n + p, :] = c * wp - s * wq
+                    v[rr * n + q, :] = s * wp + c * wq
+
+
+def transfer_amp_from_scratch(n, a, v, t):
+    """(phr, phi) transfer amplitude from diagonalised scratch ``a`` and
+    carried eigenvector rows ``v`` (in-spin row 0, out-spin row 1)."""
+    phr = jnp.zeros_like(t)
+    phi = jnp.zeros_like(t)
+    for k in range(n):
+        w = v[0 * n + k, :] * v[1 * n + k, :]
+        ang = a[k * n + k, :] * t
+        phr = phr + w * jnp.cos(ang)
+        phi = phi - w * jnp.sin(ang)
+    return phr, phi
+
+
 def make_sym_amp_kernel(n: int, in_spin: int, out_spin: int,
                         sweeps: int, tile: int = DEFAULT_TILE,
                         interpret: bool = False):
@@ -206,58 +270,8 @@ def make_sym_amp_kernel(n: int, in_spin: int, out_spin: int,
         rows = jax.lax.broadcasted_iota(jnp.int32, (2 * n, b), 0)
         sel = (rows == (0 * n + in_spin)) | (rows == (1 * n + out_spin))
         v[:, :] = jnp.where(sel, 1.0, 0.0).astype(a_in.dtype)
-
-        for _ in range(sweeps):
-            for p in range(n - 1):
-                for q in range(p + 1, n):
-                    app = a[p * n + p, :]
-                    aqq = a[q * n + q, :]
-                    apq = a[p * n + q, :]
-                    r = jnp.abs(apq)
-                    active = r > eps * (jnp.abs(app) + jnp.abs(aqq) + r)
-                    safe = jnp.where(active, apq, 1.0)
-                    tau = (aqq - app) / (2.0 * safe)
-                    t = jnp.sign(tau) / (jnp.abs(tau) +
-                                         jnp.sqrt(1.0 + tau * tau))
-                    t = jnp.where(tau == 0.0, 1.0, t)
-                    c = 1.0 / jnp.sqrt(1.0 + t * t)
-                    s = t * c
-                    c = jnp.where(active, c, 1.0)
-                    s = jnp.where(active, s, 0.0)
-                    t_eff = jnp.where(active, t, 0.0)
-
-                    # columns p, q at rows i not in {p, q}, mirrored into
-                    # rows p, q by symmetry; closed-form pivot block
-                    for i in range(n):
-                        if i == p or i == q:
-                            continue
-                        cp = a[i * n + p, :]
-                        cq = a[i * n + q, :]
-                        ncp = c * cp - s * cq
-                        ncq = s * cp + c * cq
-                        a[i * n + p, :] = ncp
-                        a[p * n + i, :] = ncp
-                        a[i * n + q, :] = ncq
-                        a[q * n + i, :] = ncq
-                    z = jnp.where(active, 0.0, apq)
-                    a[p * n + p, :] = app - t_eff * apq
-                    a[q * n + q, :] = aqq + t_eff * apq
-                    a[p * n + q, :] = z
-                    a[q * n + p, :] = z
-                    for rr in range(2):      # carried V rows
-                        wp = v[rr * n + p, :]
-                        wq = v[rr * n + q, :]
-                        v[rr * n + p, :] = c * wp - s * wq
-                        v[rr * n + q, :] = s * wp + c * wq
-
-        t = t_in[0, :]
-        phr = jnp.zeros_like(t)
-        phi = jnp.zeros_like(t)
-        for k in range(n):
-            w = v[0 * n + k, :] * v[1 * n + k, :]
-            ang = a[k * n + k, :] * t
-            phr = phr + w * jnp.cos(ang)
-            phi = phi - w * jnp.sin(ang)
+        sym_sweeps_on_scratch(n, sweeps, a, v, eps)
+        phr, phi = transfer_amp_from_scratch(n, a, v, t_in[0, :])
         amp_out[0, :] = phr
         amp_out[1, :] = phi
 

@@ -89,3 +89,37 @@ def test_ppo_fused_critic_matches_fori_loop_epoch():
                       jax.tree.leaves(st_b.vf_opt[0].nu)):
         np.testing.assert_allclose(np.asarray(gl), np.asarray(wl),
                                    atol=1e-4, rtol=2e-3)
+
+
+def test_ppo_fused_rollout_matches_xla_scan():
+    """The one-launch-per-step fused rollout (interpret mode on CPU)
+    must reproduce the XLA scan body: same noise draws, same rewards,
+    same visited controllers, same env state (f32 kernel vs the f64
+    fallback regime => 1e-5 tolerance)."""
+    import jax
+    import numpy as np
+
+    def one(fused):
+        ppo = PPO_en(4, 0, 2, testing=True, num_agents=64, seed=3,
+                     ham_noisy=True, fused_critic=False,
+                     fused_rollout=fused)
+        fn = ppo._build_epoch(steps_per_epoch=8, clip_ratio=0.2,
+                              pi_lr=3e-3, vf_lr=1e-3, max_ep_len=1000,
+                              train_pi_iters=1, train_v_iters=1,
+                              target_kl=0.01)
+        st = jax.vmap(ppo._init_agent)(
+            jax.random.split(jax.random.key(1), 64))
+        return fn(st)
+
+    st_a, out_a = one(False)
+    st_b, out_b = one(True)
+    np.testing.assert_allclose(np.asarray(out_b.rewards),
+                               np.asarray(out_a.rewards), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_b.stores),
+                               np.asarray(out_a.stores), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_b.true_fids),
+                               np.asarray(out_a.true_fids), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_b.env.action),
+                               np.asarray(st_a.env.action), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(st_b.ep_len),
+                                  np.asarray(st_a.ep_len))
