@@ -142,15 +142,15 @@ def main():
     if n_dev > 1:
         from code_robchar_tpu.parallel import mesh as pmesh
 
-    # ---- PPO training throughput (768 concurrent controller searches:
-    # the measured per-chip throughput peak with the fused Pallas critic,
-    # PERF.md: 512 -> 1.18M, 768 -> 1.22M, 1024 -> 1.17M env-steps/s) ---
+    # ---- PPO training throughput (1024 concurrent controller searches:
+    # the per-chip peak with the fused Pallas critic + whole-trajectory
+    # rollout kernel, PERF.md: 768 -> 1.41M, 1024 -> 1.43M env-steps/s) --
     # steady-state epochs: one warm (compile) + one throwaway (the relay
     # charges a one-time stall on the second distinct execution), then
     # timed evolving-state epochs.  On a multi-chip host the agent axis
     # shards over the mesh (PPO_en's public mesh path).
     from code_robchar_tpu.models.ppo import PPO_en
-    agents = 768 * n_dev
+    agents = 1024 * n_dev
     ppo = PPO_en(n, 0, 6, testing=True, fid_threshold=0.0, ham_noisy=True,
                  run_until_told_to_stop=True,
                  run_until_completion_its=10**12,

@@ -240,12 +240,15 @@ class PPO_en:
         # kernel keeps one agent's whole regression state in VMEM.
         use_fused_critic = (self.fused_critic if self.fused_critic
                             is not None else use_pallas)
-        # fused rollout step: supported for the production training
-        # regime only (real structured/no ham noise, exact reward, no
-        # fixed-ham ensemble); agent count must tile the lane dim.
-        # Opt-in (measured +1-3%/epoch only: the per-step launch still
-        # re-reads the actor weights from HBM, see pallas_rollout)
-        use_fused_rollout = (self.fused_rollout is True
+        # whole-trajectory fused rollout (ops/pallas_rollout): actor
+        # weights DMA'd to VMEM once per agent tile, the full T-step
+        # loop inside one kernel.  Supported for the production
+        # training regime only (real structured/no ham noise, exact
+        # reward, no fixed-ham ensemble); agent count must tile the
+        # 128-lane dim (64 accepted in interpret mode, where the
+        # weight-DMA alignment constraint doesn't apply)
+        use_fused_rollout = ((self.fused_rollout if self.fused_rollout
+                              is not None else use_pallas)
                              and fixed_r is None and not cfg.fid_noisy)
         eff_sweeps = (sweeps if sweeps is not None
                       else realform._sweeps_for(dt, n))
@@ -339,19 +342,25 @@ class PPO_en:
             else:
                 ks_all = jnp.zeros((t_len, 1), jnp.int32)
 
-            if use_fused_rollout and a_cnt % 64 == 0:
-                # one Pallas launch per step; the noise draws above are
-                # transposed (not re-drawn) so this path sees the SAME
-                # randomness as the XLA scan body below
+            tile_ok = (a_cnt % 128 == 0 or
+                       (not use_pallas and a_cnt % 64 == 0))
+            if use_fused_rollout and tile_ok:
+                # the ENTIRE trajectory in one Pallas launch: actor
+                # weights DMA'd into VMEM once per agent tile, carry in
+                # scratch, noise streamed in, trajectory streamed out.
+                # The draws above are transposed (not re-drawn) so this
+                # path sees the SAME randomness as the XLA scan below.
                 tile = 128 if a_cnt % 128 == 0 else 64
                 from code_robchar_tpu.ops import pallas_rollout as pr
                 f32 = jnp.float32
                 w1, w2, w3, ls = pr.fold_actor_weights(st.params)
-                hdim = w2.shape[1]
-                step_k = pr.make_actor_env_step(
+                hdim = st.params["params"]["pi"]["MLP_0"]["Dense_1"][
+                    "kernel"].shape[-1]
+                roll_k = pr.make_actor_env_rollout(
                     n, hdim, cfg.in_spin, cfg.out_spin, eff_sweeps,
                     float(cfg.bmax), float(cfg.maxtime), int(max_ep_len),
-                    bool(cfg.ham_noisy), tile, interpret=not use_pallas)
+                    bool(cfg.ham_noisy), tile, pr.rollout_chunk(t_len),
+                    interpret=not use_pallas)
                 h0f = jnp.reshape(h0.astype(f32), (n * n, 1))
                 epsT = jnp.moveaxis(eps_all, -1, 1).astype(f32)
                 if cfg.ham_noisy:
@@ -360,38 +369,41 @@ class PPO_en:
                 else:
                     zdT = jnp.zeros((t_len, n, a_cnt), f32)
                     znT = jnp.zeros((t_len, n - 1, a_cnt), f32)
-                carry0 = (st.env.action.T.astype(f32),
-                          st.env.timestep[None, :].astype(f32),
-                          st.ep_len[None, :].astype(f32))
 
-                def stepk(carry, xs):
-                    actT, tT, epT = carry
-                    e, zd, zn = xs
-                    (obsT, aT, fidT, obs2T, dT, toT, nact, nt,
-                     nep) = step_k(w1, w2, w3, ls, h0f, actT, tT, epT,
-                                   e, zd, zn)
-                    return (nact, nt, nep), (obsT, aT, fidT, obs2T,
-                                             dT, toT)
-
-                (actT, tT, epT), trajT = jax.lax.scan(
-                    stepk, carry0, (epsT, zdT, znT),
-                    length=steps_per_epoch)
-                obsT, aT, fidT, obs2T, dT, toT = trajT
+                (aT, fidT, obs2T, dT, toT, nact, nt, nep) = roll_k(
+                    w1, w2, w3, ls, h0f,
+                    st.env.action.T.astype(f32),
+                    st.env.timestep[None, :].astype(f32),
+                    st.ep_len[None, :].astype(f32),
+                    epsT, zdT, znT)
 
                 def tr(x):           # (T, feat, A) -> (T, A, feat)
                     return jnp.moveaxis(x, 1, 2).astype(dt)
 
-                action = actT.T.astype(dt)
-                tstep = tT[0].astype(dt)
+                obs2 = tr(obs2T)
+                term = (dT[:, 0, :] != 0.0) | (toT[:, 0, :] != 0.0)
+                # pre-step obs: the carry the scan would have seen —
+                # obs_0 from the incoming env state, then obs2 masked
+                # by the previous step's terminal reset
+                obs0 = jnp.concatenate(
+                    [st.env.action, st.env.timestep[:, None]],
+                    axis=1).astype(dt)
+                obs = jnp.concatenate([obs0[None], obs2[:-1]], axis=0)
+                term_prev = jnp.concatenate(
+                    [jnp.zeros((1, a_cnt), bool), term[:-1]], axis=0)
+                obs = jnp.where(term_prev[..., None],
+                                jnp.zeros((), dt), obs)
+
+                action = nact.T.astype(dt)
+                tstep = nt[0].astype(dt)
                 env_st = EnvState(action=action, timestep=tstep,
                                   final_time=tstep)
                 obs_f = jnp.concatenate([action, tstep[:, None]], axis=1)
                 keys_out2 = jax.random.split(key_out, a_cnt)
-                traj = (tr(obsT), tr(aT), fidT[:, 0, :].astype(dt),
-                        tr(obs2T), dT[:, 0, :] != 0.0,
-                        toT[:, 0, :] != 0.0,
+                traj = (obs, tr(aT), fidT[:, 0, :].astype(dt),
+                        obs2, dT[:, 0, :] != 0.0, toT[:, 0, :] != 0.0,
                         jnp.ones((t_len, a_cnt), jnp.int32))
-                return (env_st, obs_f, epT[0].astype(st.ep_len.dtype),
+                return (env_st, obs_f, nep[0].astype(st.ep_len.dtype),
                         keys_out2), traj
 
             def step(carry, xs):
