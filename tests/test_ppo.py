@@ -123,3 +123,34 @@ def test_ppo_fused_rollout_matches_xla_scan():
                                np.asarray(st_a.env.action), atol=2e-5)
     np.testing.assert_array_equal(np.asarray(st_b.ep_len),
                                   np.asarray(st_a.ep_len))
+
+
+def test_ppo_fused_rollout_timeout_and_noiseless_paths():
+    """Fused-rollout parity in the regimes the main test misses: episode
+    timeout resets firing mid-trajectory (max_ep_len < steps) and the
+    ham_noisy=False branch (noise adds compiled out of the kernel)."""
+    import jax
+    import numpy as np
+
+    def one(fused):
+        ppo = PPO_en(4, 0, 2, testing=True, num_agents=64, seed=11,
+                     ham_noisy=False, fused_critic=False,
+                     fused_rollout=fused)
+        fn = ppo._build_epoch(steps_per_epoch=12, clip_ratio=0.2,
+                              pi_lr=3e-3, vf_lr=1e-3, max_ep_len=5,
+                              train_pi_iters=0, train_v_iters=0,
+                              target_kl=0.01)
+        st = jax.vmap(ppo._init_agent)(
+            jax.random.split(jax.random.key(2), 64))
+        return fn(st)
+
+    st_a, out_a = one(False)
+    st_b, out_b = one(True)
+    np.testing.assert_allclose(np.asarray(out_b.rewards),
+                               np.asarray(out_a.rewards), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_b.stores),
+                               np.asarray(out_a.stores), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(st_b.ep_len),
+                                  np.asarray(st_a.ep_len))
+    # with max_ep_len=5 < 12 steps, timeouts MUST have fired
+    assert np.asarray(st_a.ep_len).max() < 12
