@@ -173,15 +173,17 @@ def main():
     ppo_rate = agents * 500 * n_ep / (time.perf_counter() - t0)
 
     # ---- optimizer-zoo restart throughput (batched L-BFGS) -------------
-    # k_rest matches the production regime: paper runs collect 1000
-    # controllers, so restarts batch ~1024 lanes per device dispatch
-    # (x n_dev on a multi-chip host, restart axis sharded)
+    # k_rest matches the production regime: a paper transition's
+    # 1e6-fcall noiseless budget pays for ~5k restarts, dispatched as one
+    # lane-recycled pool (512-lane hardware batch fed from the pool; see
+    # models/lbfgs.py) (x n_dev on a multi-chip host, restart axis
+    # sharded)
     from code_robchar_tpu.models import LBFGS
     opt = LBFGS(n, 0, 6, testing=True, fid_threshold=2.0, repeats=10**9,
                 run_until_told_to_stop=True, run_until_completion_its=10**12,
                 landscape_exploration=True, save_topc=64,
                 mesh=mesh if n_dev > 1 else None)
-    k_rest = 1024 * n_dev
+    k_rest = 8192 * n_dev
 
     def zoo_inputs(seed):
         x0s = jnp.asarray(opt.init_points(k_rest))

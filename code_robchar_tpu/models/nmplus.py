@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from code_robchar_tpu.models import objectives
 from code_robchar_tpu.models.base import BatchResult, ControlOptimizer
+from code_robchar_tpu.models.lbfgs import _DEFAULT_LANES
 from code_robchar_tpu.ops.realform import fidelity_from_controller_sym
 
 _ALPHA, _GAMMA, _RHO, _SIGMA = 1.0, 2.0, 0.5, 0.5
@@ -173,37 +174,52 @@ def _nm_while(simplex0, key, infid, lower, upper, maxfev, xatol=1e-4,
     return st.simplex[order[0]], st.fvals[order[0]], st.nfev, st.nit
 
 
-def _nm_while_batched(simplex0, key, infid_b, lower, upper, maxfev,
-                      xatol=1e-4, fatol=1e-4):
-    """ALL restarts in one lax.while_loop: simplex0 (K, d+1, d); every
-    candidate evaluation round is ONE lanes objective batch over the K
-    restarts (objectives.make_infidelity_batch).  Finished restarts
-    freeze via masking; per-restart billing and convergence semantics
-    match the single-restart _nm_while."""
-    k, dp1, d = simplex0.shape
+def _nm_while_batched(simplex0_pool, key, infid_b, lower, upper, maxfev,
+                      xatol=1e-4, fatol=1e-4, lanes=None):
+    """ALL restarts in one lax.while_loop with LANE RECYCLING (same
+    layout as models/lbfgs.py round 3): simplex0_pool (R, d+1, d) feeds a
+    ``lanes``-wide hardware batch; every candidate evaluation round is
+    ONE lanes objective batch (objectives.make_infidelity_batch).  A
+    restart that terminates scatters its simplex into the output buffer
+    and its lane is refilled with the next pool start in the same round —
+    wall-clock tracks the MEAN restart length (measured N=7: nit mean
+    103 / max 212, a ~2x lockstep straggler waste).  A refilled lane
+    spends one round "fresh": it skips the NM step and piggybacks its
+    initial d+1 vertex evaluations on the round's shrink batch, so
+    refills cost zero extra evaluation rounds.  Per-restart trajectories,
+    billing and convergence semantics match the single-restart
+    _nm_while."""
+    R, dp1, d = simplex0_pool.shape
+    L = int(min(lanes or _DEFAULT_LANES, R))
 
     def clip(x):
         return jnp.clip(x, lower, upper)
 
-    key, k0 = jax.random.split(key)
-    f0, c0 = infid_b(simplex0.reshape(k * dp1, d), k0)
-    f0 = f0.reshape(k, dp1)
-    nfev0 = jnp.sum(c0.reshape(k, dp1), axis=1).astype(jnp.int32)
+    k = L
+    st0 = (simplex0_pool[:L],
+           jnp.zeros((L, dp1), simplex0_pool.dtype),
+           jnp.zeros(L, jnp.int32), jnp.zeros(L, jnp.int32), key,
+           jnp.arange(L, dtype=jnp.int32),       # idx
+           jnp.ones(L, bool),                    # live
+           jnp.ones(L, bool),                    # fresh
+           jnp.int32(L),                         # next_i
+           jnp.zeros((R + 1, dp1, d), simplex0_pool.dtype),   # out simplex
+           jnp.zeros((R + 1, dp1), simplex0_pool.dtype),      # out fvals
+           jnp.zeros(R + 1, jnp.int32),          # out nfev
+           jnp.zeros(R + 1, jnp.int32))          # out nit
 
-    st0 = (simplex0, f0, nfev0, jnp.zeros(k, jnp.int32), key)
-
-    def active_of(st):
-        simplex, fvals, nfev, nit, _ = st
+    def searching_of(simplex, fvals, nfev):
         spread_f = jnp.max(jnp.abs(fvals - fvals[:, :1]), axis=1)
         spread_x = jnp.max(jnp.abs(simplex - simplex[:, :1]), axis=(1, 2))
         return (nfev < maxfev) & ((spread_f > fatol) | (spread_x > xatol))
 
     def cond(st):
-        return jnp.any(active_of(st))
+        return jnp.any(st[6])
 
     def body(st):
-        simplex_in, fvals_in, nfev, nit, key = st
-        active = active_of(st)
+        (simplex_in, fvals_in, nfev, nit, key, idx, live, fresh, next_i,
+         out_s, out_f, out_nfev, out_nit) = st
+        active = live & ~fresh
         order = jnp.argsort(fvals_in, axis=1)
         simplex = jnp.take_along_axis(simplex_in, order[:, :, None], axis=1)
         fvals = jnp.take_along_axis(fvals_in, order, axis=1)
@@ -246,11 +262,16 @@ def _nm_while_batched(simplex0, key, infid_b, lower, upper, maxfev,
         simplex = simplex.at[:, -1].set(new_point)
         fvals = fvals.at[:, -1].set(new_f)
 
-        # shrink toward the best vertex; re-evaluate all vertices
+        # shrink toward the best vertex; re-evaluate all vertices.  The
+        # same batch doubles as the FRESH-lane initial simplex evaluation
+        # (fresh lanes substitute their unevaluated simplex for the
+        # shrunk one)
         shrunk = simplex[:, :1] + _SIGMA * (simplex - simplex[:, :1])
+        eval_mat = jnp.where(fresh[:, None, None], simplex_in, shrunk)
         key, ks = jax.random.split(key)
-        f_shrunk, _unused2 = infid_b(shrunk.reshape(k * dp1, d), ks)
+        f_shrunk, cs2 = infid_b(eval_mat.reshape(k * dp1, d), ks)
         f_shrunk = f_shrunk.reshape(k, dp1)
+        init_bill = jnp.sum(cs2.reshape(k, dp1), axis=1).astype(jnp.int32)
         simplex = jnp.where(shrink[:, None, None], shrunk, simplex)
         fvals = jnp.where(shrink[:, None], f_shrunk, fvals)
 
@@ -262,17 +283,46 @@ def _nm_while_batched(simplex0, key, infid_b, lower, upper, maxfev,
                 + jnp.where(~use_expand & ~use_reflect, per_eval, 0)
                 + jnp.where(shrink, per_eval * (dp1 - 1), 0)
                 ).astype(jnp.int32)
-        nfev = nfev + jnp.where(active, bill, 0)
+        nfev = nfev + jnp.where(active, bill,
+                                jnp.where(fresh, init_bill, 0))
 
-        keep = active
-        simplex = jnp.where(keep[:, None, None], simplex, simplex_in)
-        fvals = jnp.where(keep[:, None], fvals, fvals_in)
-        return (simplex, fvals, nfev, nit + keep.astype(jnp.int32), key)
+        simplex = jnp.where(active[:, None, None], simplex, simplex_in)
+        fvals = jnp.where(active[:, None], fvals,
+                          jnp.where(fresh[:, None], f_shrunk, fvals_in))
+        nit = nit + active.astype(jnp.int32)
 
-    simplex, fvals, nfev, nit, _ = jax.lax.while_loop(cond, body, st0)
-    order = jnp.argsort(fvals, axis=1)
-    best_x = jnp.take_along_axis(simplex, order[:, :1, None], axis=1)[:, 0]
-    best_f = jnp.take_along_axis(fvals, order[:, :1], axis=1)[:, 0]
+        # per-restart termination on the UPDATED state (initialized fresh
+        # lanes included — a degenerate initial simplex terminates before
+        # stepping, matching the lockstep loop's pre-step active check)
+        finished = live & ~searching_of(simplex, fvals, nfev)
+
+        tgt = jnp.where(finished, idx, R)
+        out_s = out_s.at[tgt].set(simplex, mode="drop")
+        out_f = out_f.at[tgt].set(fvals, mode="drop")
+        out_nfev = out_nfev.at[tgt].set(nfev, mode="drop")
+        out_nit = out_nit.at[tgt].set(nit, mode="drop")
+
+        # refill finished lanes with the next unassigned pool starts
+        slot = next_i + jnp.cumsum(finished.astype(jnp.int32)) - 1
+        refill = finished & (slot < R)
+        slot_c = jnp.minimum(slot, R - 1)
+        simplex = jnp.where(refill[:, None, None], simplex0_pool[slot_c],
+                            simplex)
+        fvals = jnp.where(refill[:, None], 0.0, fvals)
+        nfev = jnp.where(refill, 0, nfev)
+        nit = jnp.where(refill, 0, nit)
+        return (simplex, fvals, nfev, nit, key,
+                jnp.where(refill, slot_c, idx),
+                (live & ~finished) | refill,
+                refill,
+                next_i + jnp.sum(finished, dtype=jnp.int32),
+                out_s, out_f, out_nfev, out_nit)
+
+    st = jax.lax.while_loop(cond, body, st0)
+    simplex, fvals, nfev, nit = st[9][:R], st[10][:R], st[11][:R], st[12][:R]
+    best_i = jnp.argmin(fvals, axis=1)
+    best_x = jnp.take_along_axis(simplex, best_i[:, None, None], axis=1)[:, 0]
+    best_f = jnp.take_along_axis(fvals, best_i[:, None], axis=1)[:, 0]
     return best_x, best_f, nfev, nit
 
 
@@ -295,10 +345,15 @@ def regular_simplex(x0: jnp.ndarray, lower, upper, key) -> jnp.ndarray:
 class NMPlus(ControlOptimizer):
     name = "nmplus"
     budget_per_restart = 300
+    # lane recycling: big pools amortize the ~2x straggler tail on a
+    # fixed-width hardware batch (see _nm_while_batched / models/lbfgs.py)
+    default_batch = 2048
 
-    def __init__(self, *args, maxfev: int = 300, **kwargs):
+    def __init__(self, *args, maxfev: int = 300,
+                 lane_width: int = _DEFAULT_LANES, **kwargs):
         super().__init__(*args, **kwargs)
         self.maxfev = maxfev  # per-restart budget (nmplus.py:212-215)
+        self.lane_width = lane_width
         self._batch_fn = None
         self._batch_cfg = None
 
@@ -307,6 +362,7 @@ class NMPlus(ControlOptimizer):
         infid_b = objectives.make_infidelity_batch(spec)
         lower, upper = self._lower, self._upper
         maxfev = self.maxfev
+        lane_width = self.lane_width
         h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
         mul = spec.mul_fac
 
@@ -322,7 +378,7 @@ class NMPlus(ControlOptimizer):
             simplex0 = jnp.clip(simplex0, lower, upper)
             xs, f, nfev, nit = _nm_while_batched(simplex0, keys[0],
                                                  infid_b, lower, upper,
-                                                 maxfev)
+                                                 maxfev, lanes=lane_width)
             if spec.fixed_hams is not None:
                 fids = trues = 1.0 - f  # nmplus.py:229-231
             else:

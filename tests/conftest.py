@@ -60,6 +60,8 @@ def _clear_jax_caches_between_modules():
 
 _SLOW_TESTS = {
     # round-3 additions
+    "tests/test_models.py::test_lbfgs_lane_recycling_preserves_restarts",
+    "tests/test_models.py::test_nmplus_lane_recycling_preserves_restarts",
     "tests/test_pallas.py::test_pallas_sym_grad_matches_lanes_interpret",
     "tests/test_pallas.py::test_pallas_sym_amp_matches_lanes_interpret",
     "tests/test_parallel.py::"
