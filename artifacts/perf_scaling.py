@@ -28,10 +28,13 @@ def main():
     tiny = jax.jit(lambda a: a @ a)(jnp.ones((8, 8)))
     np.asarray(tiny)  # relay handshake
 
-    # ---- optimizer zoo at the production 1024-lane batch ---------------
+    # ---- optimizer zoo at the production dispatch sizes ----------------
+    # lbfgs/nmplus dispatch lane-recycled pools (lane_width-wide hardware
+    # batch fed from the pool; see models/lbfgs.py); snob/adam have
+    # fixed-length loops and stay at the 1024-lane batch
     n, out = 7, 6
-    k_rest = 1024
     for cls in (LBFGS, NMPlus, SNOB, Adam):
+        k_rest = 8192 if cls in (LBFGS, NMPlus) else 1024
         kw = dict(testing=True, fid_threshold=2.0, repeats=10**9,
                   run_until_told_to_stop=True,
                   run_until_completion_its=10**12,
