@@ -306,6 +306,13 @@ class ControlOptimizer:
         if self.restart_batch:
             return self.restart_batch
         k = self.default_batch
+        if not self.run_until_told_to_stop:
+            # threshold mode stops at the first restart over
+            # fid_threshold, and record["func_calls"] bills the whole
+            # dispatched batch — keep the reference-parity overshoot at
+            # the base granularity instead of the (lane-recycled)
+            # budget-mode pool size
+            k = min(k, ControlOptimizer.default_batch)
         if self.run_until_told_to_stop and self.records_update_rate:
             # keep ~checkpoint resolution: a batch should not blow past one
             # records_update_rate window in a single dispatch
