@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from code_robchar_tpu.models import objectives
-from code_robchar_tpu.models.base import BatchResult, ControlOptimizer
+from code_robchar_tpu.models.base import (BatchResult, ControlOptimizer,
+                                           cached_program)
 from code_robchar_tpu.ops.realform import fidelity_from_controller_sym
 
 _BETA1, _BETA2 = 0.9, 0.999
@@ -66,73 +67,78 @@ class Adam(ControlOptimizer):
             raise Exception("alternative functionality isn't available yet.")
         self.eta = 0.008 if self.Nspin > 7 else 0.03
         self.grad_gate = 1e-4 if self.Nspin > 7 else 1e-2
-        self._seg_fns = None
+        self._stream = None
+        self._table = None
 
     def _build_segments(self, n_streams: int):
         """Compile the two segment variants for a fixed stream count:
         plain (segment_its updates) and restart (segment_its - 1 updates,
         retry-until-pass restart, final update) — the restart lands before
         the last update of the segment that ends on a 5000-update
-        boundary, matching the reference's (its+1) % 5000 == 0 check."""
-        spec = self.spec()
-        exact_b = objectives.make_exact_gradient_batch(spec)
-        infid_b = objectives.make_infidelity_batch(spec)
+        boundary, matching the reference's (its+1) % 5000 == 0 check.
+
+        The noise level, the fixed-ham ensemble, and the per-instance
+        Sobol restart table are runtime OPERANDS, so these programs are
+        shared across instances and sigma cells (base._PROGRAM_CACHE)."""
+        make_spec = self._traced_spec
+        use_fixed = self.use_fixed_ham
         h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
         lower, upper = self._lower, self._upper
         eta, gate = self.eta, self.grad_gate
         seg = self.segment_its
         kc = max(1, min(self.cand_per_segment, seg))
         n = self.Nspin
-
-        # stream-strided Sobol restart table: entry [ptr, sid] is global
-        # Sobol draw ptr * n_streams + sid (disjoint per-stream sequences)
-        table = jnp.asarray(
-            self._sobol_stream(_TABLE_LEN * n_streams)
-        ).reshape(_TABLE_LEN, n_streams, self.Nspin + 1)
         sids = jnp.arange(n_streams, dtype=jnp.int32)
 
-        # the whole stream batch rides the LANE dimension: one Jacobi
-        # chain per step evaluates every stream's gradient
-        # (objectives.make_exact_gradient_batch), instead of a vmapped
-        # batch-first eigh per stream
-        def adam_step(carry, _):
-            w, m, v, key = carry                       # w/m/v (K, d)
-            errs, grads = exact_b(w)
-            m = _BETA1 * m + (1 - _BETA1) * grads
-            v = _BETA2 * v + (1 - _BETA2) * grads * grads
-            m_hat = m / (1 - _BETA1)
-            v_hat = v / (1 - _BETA2)
-            w = w - eta * m_hat / (jnp.sqrt(v_hat) + 1e-8)
-            key, kf = jax.random.split(key)
-            fi_errs, _ = infid_b(w, kf)    # ranking eval: NOT billed
-            return (w, m, v, key), (1.0 - fi_errs, w)
+        def make_steps(spec, table):
+            exact_b = objectives.make_exact_gradient_batch(spec)
+            infid_b = objectives.make_infidelity_batch(spec)
 
-        def retry_restart(w, ptr):
-            """qnewton.py:681-700, batched: every stream draws Sobol
-            candidates until ITS exact gradient clears the norm gate;
-            each probe bills 1 fcall + 1 iteration per still-active
-            stream.  Keeps current w on cap-out."""
-            def cond(st):
-                ok, tries, ptr, _ = st
-                return jnp.any((~ok) & (tries < _MAX_RETRIES))
+            # the whole stream batch rides the LANE dimension: one Jacobi
+            # chain per step evaluates every stream's gradient
+            # (objectives.make_exact_gradient_batch), instead of a vmapped
+            # batch-first eigh per stream
+            def adam_step(carry, _):
+                w, m, v, key = carry                   # w/m/v (K, d)
+                errs, grads = exact_b(w)
+                m = _BETA1 * m + (1 - _BETA1) * grads
+                v = _BETA2 * v + (1 - _BETA2) * grads * grads
+                m_hat = m / (1 - _BETA1)
+                v_hat = v / (1 - _BETA2)
+                w = w - eta * m_hat / (jnp.sqrt(v_hat) + 1e-8)
+                key, kf = jax.random.split(key)
+                fi_errs, _ = infid_b(w, kf)    # ranking eval: NOT billed
+                return (w, m, v, key), (1.0 - fi_errs, w)
 
-            def body(st):
-                ok, tries, ptr, w_cur = st
-                active = (~ok) & (tries < _MAX_RETRIES)
-                u = table[ptr % _TABLE_LEN, sids].astype(w_cur.dtype)
-                cands = lower + (upper - lower) * u
-                _, g = exact_b(cands)
-                passed = jnp.linalg.norm(g, axis=-1) > gate
-                ok = jnp.where(active, passed, ok)
-                w_cur = jnp.where((active & passed)[:, None], cands, w_cur)
-                tries = jnp.where(active, tries + 1, tries)
-                ptr = jnp.where(active, ptr + 1, ptr)
-                return ok, tries, ptr, w_cur
+            def retry_restart(w, ptr):
+                """qnewton.py:681-700, batched: every stream draws Sobol
+                candidates until ITS exact gradient clears the norm gate;
+                each probe bills 1 fcall + 1 iteration per still-active
+                stream.  Keeps current w on cap-out."""
+                def cond(st):
+                    ok, tries, ptr, _ = st
+                    return jnp.any((~ok) & (tries < _MAX_RETRIES))
 
-            ok, tries, ptr, w = jax.lax.while_loop(
-                cond, body, (jnp.zeros(n_streams, bool),
-                             jnp.zeros(n_streams, jnp.int32), ptr, w))
-            return w, ptr, tries
+                def body(st):
+                    ok, tries, ptr, w_cur = st
+                    active = (~ok) & (tries < _MAX_RETRIES)
+                    u = table[ptr % _TABLE_LEN, sids].astype(w_cur.dtype)
+                    cands = lower + (upper - lower) * u
+                    _, g = exact_b(cands)
+                    passed = jnp.linalg.norm(g, axis=-1) > gate
+                    ok = jnp.where(active, passed, ok)
+                    w_cur = jnp.where((active & passed)[:, None], cands,
+                                      w_cur)
+                    tries = jnp.where(active, tries + 1, tries)
+                    ptr = jnp.where(active, ptr + 1, ptr)
+                    return ok, tries, ptr, w_cur
+
+                ok, tries, ptr, w = jax.lax.while_loop(
+                    cond, body, (jnp.zeros(n_streams, bool),
+                                 jnp.zeros(n_streams, jnp.int32), ptr, w))
+                return w, ptr, tries
+
+            return adam_step, retry_restart
 
         def finish(w, m, v, it, ptr, fis, ws, extra):
             fid = fis[-1]                              # (K,)
@@ -149,15 +155,16 @@ class Adam(ControlOptimizer):
             return (w, m, v, it + seg, ptr, fid, true,
                     seg + extra, seg + extra, cf, cand_x)
 
-        @jax.jit
-        def one_plain(w, m, v, it, ptr, keys):
+        def one_plain_impl(w, m, v, it, ptr, keys, table, noise, fixed):
+            adam_step, _ = make_steps(make_spec(noise, fixed), table)
             (w, m, v, _), (fis, ws) = jax.lax.scan(
                 adam_step, (w, m, v, keys[0]), None, length=seg)
             return finish(w, m, v, it, ptr, fis, ws,
                           jnp.zeros(n_streams, jnp.int32))
 
-        @jax.jit
-        def one_restart(w, m, v, it, ptr, keys):
+        def one_restart_impl(w, m, v, it, ptr, keys, table, noise, fixed):
+            adam_step, retry_restart = make_steps(make_spec(noise, fixed),
+                                                  table)
             (w, m, v, key), (fis, ws) = jax.lax.scan(
                 adam_step, (w, m, v, keys[0]), None, length=seg - 1)
             w, ptr, probes = retry_restart(w, ptr)
@@ -166,15 +173,27 @@ class Adam(ControlOptimizer):
             ws = jnp.concatenate([ws, w_l[None]])
             return finish(w, m, v, it, ptr, fis, ws, probes)
 
-        return one_plain, one_restart
+        if use_fixed:
+            return jax.jit(one_plain_impl), jax.jit(one_restart_impl)
+        return (jax.jit(lambda w, m, v, it, ptr, keys, table, noise:
+                        one_plain_impl(w, m, v, it, ptr, keys, table,
+                                       noise, None)),
+                jax.jit(lambda w, m, v, it, ptr, keys, table, noise:
+                        one_restart_impl(w, m, v, it, ptr, keys, table,
+                                         noise, None)))
 
     def _run_batch(self, x0s, keys) -> BatchResult:
         """One segment of `segment_its` Adam iterations across the stream
         batch.  The base-class loop treats each segment as a 'batch of
         restarts' for record purposes; probes tally into nfev/nit."""
         k = x0s.shape[0]
-        if self._seg_fns is None or self._stream[0].shape[0] != k:
-            self._seg_fns = self._build_segments(k)
+        if self._stream is None or self._stream[0].shape[0] != k:
+            # stream-strided Sobol restart table: entry [ptr, sid] is
+            # global Sobol draw ptr * K + sid (disjoint per-stream
+            # sequences); per-instance DATA, passed as an operand
+            self._table = jnp.asarray(
+                self._sobol_stream(_TABLE_LEN * k)
+            ).reshape(_TABLE_LEN, k, self.Nspin + 1)
             m0 = jax.random.uniform(self.next_key(), (k, self.Nspin + 1))
             v0 = jax.random.uniform(self.next_key(), (k, self.Nspin + 1))
             self._stream = (jnp.asarray(x0s), m0, v0,
@@ -190,12 +209,19 @@ class Adam(ControlOptimizer):
                 pmesh.check_divisible(self.mesh, k, "stream")
                 self._stream = pmesh.shard_leading_tree(
                     self.mesh, self._stream, k)
+        seg_fns = cached_program(
+            ("adam", self._objective_statics(), k, self.segment_its,
+             self.cand_per_segment),
+            lambda: self._build_segments(k))
         w, m, v, it, ptr = self._stream
         its_done = int(it[0])
         restart_due = (its_done + self.segment_its) % _RESTART_EVERY == 0
-        fn = self._seg_fns[1 if restart_due else 0]
+        fn = seg_fns[1 if restart_due else 0]
+        args = (w, m, v, it, ptr, keys, self._table, self._noise_operand())
+        if self.use_fixed_ham:
+            args = args + (self.randH,)
         (w, m, v, it, ptr, fid, true, calls, nit,
-         cand_fid, cand_x) = fn(w, m, v, it, ptr, keys)
+         cand_fid, cand_x) = fn(*args)
         self._stream = (w, m, v, it, ptr)
         return BatchResult(w, fid, true, calls, nit,
                            cand_x=cand_x, cand_fid=cand_fid)
@@ -205,9 +231,8 @@ class Adam(ControlOptimizer):
         # number of segments by the fcall budget; repeats is irrelevant
         # (reference loops on tot_its alone, qnewton.py:674).  Each run()
         # starts a FRESH stream like the reference's (moments, iteration
-        # counter, Sobol pointers all re-initialised).
+        # counter, Sobol pointers and restart table all re-initialised).
         self.repeats = int(1e18)
-        self._seg_fns = None
-        if hasattr(self, "_stream"):
-            del self._stream
+        self._stream = None
+        self._table = None
         return super().run()

@@ -16,7 +16,8 @@ batches.  Batch size auto-scales so that fcall-budget checkpoints
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from collections import OrderedDict
+from typing import Callable, Dict, NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -26,6 +27,30 @@ from code_robchar_tpu.models import objectives
 from code_robchar_tpu.ops import chain, noise as noise_ops, realform, sobol
 from code_robchar_tpu.utils.record import RunRecord, TopControllers
 from code_robchar_tpu.utils.timeout import Deadline
+
+
+#: Compiled batch programs shared across optimizer INSTANCES.  The
+#: Experiment driver constructs a fresh model per (family, noise) cell
+#: (noise_analysis.py:337-344 — mirrored in exp/experiment.py), and jit's
+#: executable cache is per-closure, so without this every cell would pay a
+#: full XLA compile (~26 s on the TPU relay) for ~0.2 s of compute.  The
+#: noise LEVEL and the fixed-ham ensemble are runtime operands of the
+#: cached programs (ObjectiveSpec is built inside the trace), so one
+#: compile per family serves every sigma cell.
+_PROGRAM_CACHE: "OrderedDict[tuple, Callable]" = OrderedDict()
+_PROGRAM_CACHE_MAX = 64
+
+
+def cached_program(key: tuple, builder: Callable[[], Callable]) -> Callable:
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        fn = builder()
+        _PROGRAM_CACHE[key] = fn
+        while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
+            _PROGRAM_CACHE.popitem(last=False)
+    else:
+        _PROGRAM_CACHE.move_to_end(key)
+    return fn
 
 
 class BatchResult(NamedTuple):
@@ -169,6 +194,36 @@ class ControlOptimizer:
             adaptive=bool(self.adaptive), adp_tol=float(self.adp_tol),
             fixed_hams=self.randH if self.use_fixed_ham else None,
             mul_fac=self.train_size if self.use_fixed_ham else 1)
+
+    def _traced_spec(self, noise, fixed=None) -> objectives.ObjectiveSpec:
+        """ObjectiveSpec with the noise level (and the fixed-ham ensemble)
+        as TRACED operands — built inside the jitted batch programs so one
+        compile serves every sigma (structured_perturbation already accepts
+        a traced scale).  Everything else read here is part of
+        `_objective_statics`, so sharing the closure across instances via
+        `cached_program` is sound."""
+        return objectives.ObjectiveSpec(
+            h0=self.HH, in_spin=self.In, out_spin=self.Out, noise=noise,
+            fid_noisy=bool(self.fid_noisy), ham_noisy=bool(self.ham_noisy),
+            draws=int(self.draws), adaptive=bool(self.adaptive),
+            adp_tol=float(self.adp_tol), fixed_hams=fixed,
+            mul_fac=self.train_size if self.use_fixed_ham else 1)
+
+    def _objective_statics(self) -> tuple:
+        """Every instance attribute the batch-program builders read that is
+        NOT a runtime operand.  Two instances with equal statics share one
+        compiled program (see _PROGRAM_CACHE)."""
+        return (self.Nspin, self.In, self.Out, self.topo,
+                bool(self.heisenberg_int), self.Bmin, self.Bmax,
+                self.Tmin, self.Tmax, str(self.HH.dtype),
+                bool(self.fid_noisy), bool(self.ham_noisy),
+                bool(self.adaptive), int(self.draws), float(self.adp_tol),
+                bool(self.use_fixed_ham),
+                int(self.train_size) if self.use_fixed_ham else 0,
+                bool(self.use_wass_cost))
+
+    def _noise_operand(self) -> jnp.ndarray:
+        return jnp.asarray(float(self.noise), self.HH.dtype)
 
     # ------------------------------------------------- reference-API shims
 

@@ -45,7 +45,8 @@ import jax
 import jax.numpy as jnp
 
 from code_robchar_tpu.models import objectives
-from code_robchar_tpu.models.base import BatchResult, ControlOptimizer
+from code_robchar_tpu.models.base import (BatchResult, ControlOptimizer,
+                                           cached_program)
 from code_robchar_tpu.ops.realform import fidelity_from_controller_sym
 
 _M = 10          # history pairs (scipy default)
@@ -319,12 +320,13 @@ class LBFGS(ControlOptimizer):
         super().__init__(*args, **kwargs)
         self.maxiter = maxiter
         self.lane_width = lane_width
-        self._batch_fn = None
-        self._batch_cfg = None
 
     def _build_batch_fn(self):
-        spec = self.spec()
         noisy = self.fid_noisy or self.ham_noisy
+        use_fixed = self.use_fixed_ham
+        use_wass = self.use_wass_cost
+        adaptive = self.adaptive
+        mul_fac = self.train_size if use_fixed else 1
         d = self.Nspin + 1
         lower, upper = self._lower, self._upper
         maxiter = self.maxiter
@@ -333,65 +335,68 @@ class LBFGS(ControlOptimizer):
         # scipy's default maxfun=15000 when noiseless.
         maxfun = 500 if noisy else 15000
         h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
+        make_spec = self._traced_spec
 
-        if noisy:
-            if self.use_wass_cost:
-                # qnewton.py:512 selects the Wasserstein robustness cost
-                # in the noisy branch (the reference branch is de facto
-                # dead — no else => NameError — but the wiring is the
-                # documented intent): train on RIM_1 of 5 ham-noisy
-                # probes, billed 5 fcalls per objective call.
-                if self.use_fixed_ham:
-                    raise NotImplementedError(
-                        "use_wass_cost with use_fixed_ham is undefined: "
-                        "the wass cost probes fresh ham noise "
-                        "(qnewton.py:447-455) and never consults the "
-                        "fixed ensemble")
-                wass_b = objectives.make_wass_cost_batch(spec, 5)
-                vag_b = objectives.make_fd_gradient_batch(wass_b, d)
-                # the in-band counter carries the 5x billing; scale the
-                # lane-freeze gate so it still means 500 OBJECTIVE calls
-                # (scipy's maxfun counts objective calls, not billed
-                # fcalls)
-                maxfun = maxfun * 5
-            else:
-                infid_b = objectives.make_infidelity_batch(spec)
-                vag_b = objectives.make_fd_gradient_batch(infid_b, d)
-        else:
-            if self.use_wass_cost:
-                raise NotImplementedError(
-                    "use_wass_cost requires a noisy run (fid_noisy or "
-                    "ham_noisy): the cost probes ham-noisy fidelity at "
-                    "sigma=noise (qnewton.py:447-455) and the reference's "
-                    "noiseless branch never consults the flag")
-            exact_b = objectives.make_exact_gradient_batch(spec)
-
-            def vag_b(xs, key):
-                errs, grads = exact_b(xs)
-                return errs, grads, jnp.full(xs.shape[0], 1, jnp.int32)
+        if noisy and use_wass and use_fixed:
+            raise NotImplementedError(
+                "use_wass_cost with use_fixed_ham is undefined: the wass "
+                "cost probes fresh ham noise (qnewton.py:447-455) and "
+                "never consults the fixed ensemble")
+        if not noisy and use_wass:
+            raise NotImplementedError(
+                "use_wass_cost requires a noisy run (fid_noisy or "
+                "ham_noisy): the cost probes ham-noisy fidelity at "
+                "sigma=noise (qnewton.py:447-455) and the reference's "
+                "noiseless branch never consults the flag")
+        if noisy and use_wass:
+            # qnewton.py:512 selects the Wasserstein robustness cost in
+            # the noisy branch (the reference branch is de facto dead —
+            # no else => NameError — but the wiring is the documented
+            # intent): train on RIM_1 of 5 ham-noisy probes, billed 5
+            # fcalls per objective call.  The lane-freeze gate scales so
+            # it still means 500 OBJECTIVE calls (scipy's maxfun counts
+            # objective calls, not billed fcalls).
+            maxfun = maxfun * 5
 
         # reference fcall accounting (see module docstring): non-adaptive
         # restarts bill d["funcalls"] * (mul_fac + 1).  The wass-cost path
         # has no reference accounting to mirror (its branch never ran);
         # it bills exactly bootstrap_reps per objective call, in-band.
-        if noisy and self.use_wass_cost:
+        if noisy and use_wass:
             bill_mul = 1
         else:
-            bill_mul = spec.mul_fac + (0 if spec.adaptive else 1)
+            bill_mul = mul_fac + (0 if adaptive else 1)
 
-        infid_eval_b = objectives.make_infidelity_batch(spec)
+        def make_vag(spec):
+            if noisy:
+                if use_wass:
+                    wass_b = objectives.make_wass_cost_batch(spec, 5)
+                    return objectives.make_fd_gradient_batch(wass_b, d)
+                infid_b = objectives.make_infidelity_batch(spec)
+                return objectives.make_fd_gradient_batch(infid_b, d)
+            exact_b = objectives.make_exact_gradient_batch(spec)
 
-        @jax.jit
-        def run_batch(x0s, keys):
-            st = _batched_restarts(x0s, keys[0], vag_b, lower, upper,
-                                   maxiter, maxfun, lanes=lane_width)
-            if spec.fixed_hams is not None:
+            def vag_b(xs, key):
+                errs, grads = exact_b(xs)
+                return errs, grads, jnp.full(xs.shape[0], 1, jnp.int32)
+            return vag_b
+
+        def run_batch_impl(x0s, keys, noise, fixed):
+            # the spec is built INSIDE the trace: noise level and fixed
+            # ensemble are operands, so every sigma cell shares this
+            # compile (see base._PROGRAM_CACHE)
+            spec = make_spec(noise, fixed)
+            st = _batched_restarts(x0s, keys[0], make_vag(spec), lower,
+                                   upper, maxiter, maxfun,
+                                   lanes=lane_width)
+            if use_fixed:
                 # reference: fi = true_fid = 1 - f under fixed-ham
                 # (qnewton.py:527-530)
                 fids = trues = 1.0 - st.f
             else:
                 # fresh noisy re-evaluation + clean fidelity
                 # (qnewton.py:533-535)
+                infid_eval_b = objectives.make_infidelity_batch(spec)
                 e, _ = infid_eval_b(st.x, jax.random.fold_in(keys[0], 1))
                 fids = 1.0 - e
                 trues = jax.vmap(
@@ -400,13 +405,15 @@ class LBFGS(ControlOptimizer):
             return BatchResult(st.x, fids, trues, st.nfev * bill_mul,
                                st.nit)
 
-        return run_batch
+        if use_fixed:
+            return jax.jit(run_batch_impl)
+        return jax.jit(lambda x0s, keys, noise:
+                       run_batch_impl(x0s, keys, noise, None))
 
     def _run_batch(self, x0s, keys) -> BatchResult:
-        cfg = (float(self.noise), bool(self.fid_noisy), bool(self.ham_noisy),
-               bool(self.use_fixed_ham), int(self.draws),
-               bool(self.adaptive), bool(self.use_wass_cost))
-        if self._batch_fn is None or cfg != self._batch_cfg:
-            self._batch_fn = self._build_batch_fn()
-            self._batch_cfg = cfg
-        return self._batch_fn(x0s, keys)
+        fn = cached_program(
+            ("lbfgs", self._objective_statics(), self.maxiter,
+             self.lane_width), self._build_batch_fn)
+        if self.use_fixed_ham:
+            return fn(x0s, keys, self._noise_operand(), self.randH)
+        return fn(x0s, keys, self._noise_operand())

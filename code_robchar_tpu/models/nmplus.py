@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from code_robchar_tpu.models import objectives
-from code_robchar_tpu.models.base import BatchResult, ControlOptimizer
+from code_robchar_tpu.models.base import (BatchResult, ControlOptimizer,
+                                           cached_program)
 from code_robchar_tpu.models.lbfgs import _DEFAULT_LANES
 from code_robchar_tpu.ops.realform import fidelity_from_controller_sym
 
@@ -354,20 +355,21 @@ class NMPlus(ControlOptimizer):
         super().__init__(*args, **kwargs)
         self.maxfev = maxfev  # per-restart budget (nmplus.py:212-215)
         self.lane_width = lane_width
-        self._batch_fn = None
-        self._batch_cfg = None
 
     def _build_batch_fn(self):
-        spec = self.spec()
-        infid_b = objectives.make_infidelity_batch(spec)
+        use_fixed = self.use_fixed_ham
+        mul = self.train_size if use_fixed else 1
         lower, upper = self._lower, self._upper
         maxfev = self.maxfev
         lane_width = self.lane_width
         h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
-        mul = spec.mul_fac
+        make_spec = self._traced_spec
 
-        @jax.jit
-        def run_batch(x0s, keys):
+        def run_batch_impl(x0s, keys, noise, fixed):
+            # spec built inside the trace: the noise level / fixed
+            # ensemble are operands (base._PROGRAM_CACHE)
+            spec = make_spec(noise, fixed)
+            infid_b = objectives.make_infidelity_batch(spec)
             # scipy-style init: axis steps of 5% around x0
             d = x0s.shape[1]
             steps = jnp.where(x0s != 0, 0.05 * x0s, 0.00025)
@@ -379,7 +381,7 @@ class NMPlus(ControlOptimizer):
             xs, f, nfev, nit = _nm_while_batched(simplex0, keys[0],
                                                  infid_b, lower, upper,
                                                  maxfev, lanes=lane_width)
-            if spec.fixed_hams is not None:
+            if use_fixed:
                 fids = trues = 1.0 - f  # nmplus.py:229-231
             else:
                 e, _ = infid_b(xs, jax.random.fold_in(keys[0], 3))
@@ -389,15 +391,18 @@ class NMPlus(ControlOptimizer):
                         h0, x, in_spin, out_spin))(xs)
             return BatchResult(xs, fids, trues, nfev * mul, nit * mul)
 
-        return run_batch
+        if use_fixed:
+            return jax.jit(run_batch_impl)
+        return jax.jit(lambda x0s, keys, noise:
+                       run_batch_impl(x0s, keys, noise, None))
 
     def _run_batch(self, x0s, keys) -> BatchResult:
-        cfg = (float(self.noise), bool(self.fid_noisy), bool(self.ham_noisy),
-               bool(self.use_fixed_ham), int(self.draws), bool(self.adaptive))
-        if self._batch_fn is None or cfg != self._batch_cfg:
-            self._batch_fn = self._build_batch_fn()
-            self._batch_cfg = cfg
-        return self._batch_fn(x0s, keys)
+        fn = cached_program(
+            ("nmplus", self._objective_statics(), self.maxfev,
+             self.lane_width), self._build_batch_fn)
+        if self.use_fixed_ham:
+            return fn(x0s, keys, self._noise_operand(), self.randH)
+        return fn(x0s, keys, self._noise_operand())
 
     # --------- capability parity with the reference's in-house variant ----
 

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import optax
 
 from code_robchar_tpu.models import actor_critic as ac
+from code_robchar_tpu.models.base import cached_program
 from code_robchar_tpu.models.env import EnvConfig, EnvState, env_reset
 from code_robchar_tpu.utils.record import RunRecord, TopControllers
 from code_robchar_tpu.utils.timeout import Deadline
@@ -193,7 +194,42 @@ class PPO_en:
 
     def _build_epoch(self, steps_per_epoch, clip_ratio, pi_lr, vf_lr,
                      max_ep_len, train_pi_iters, train_v_iters, target_kl):
-        """Compile one PPO epoch for ALL agents at once.
+        """One PPO epoch for ALL agents at once, as `epoch_fn(st)`.
+
+        The returned callable reads ``self.env.noise`` at CALL time and
+        feeds it to a cached jitted program as a runtime operand
+        (base._PROGRAM_CACHE): the Experiment driver trains one PPO per
+        sigma cell (noise_analysis.py:343-344), and without the shared
+        program every cell would pay the epoch's full XLA compile.  The
+        drift / fixed-ensemble arrays are folded into the cache key by
+        content digest (transfer_learning perturbs the drift per
+        instance, models/env.py)."""
+        import hashlib
+
+        h0 = jnp.real(self.env.sys)
+        dig = hashlib.sha1(np.asarray(h0).tobytes())
+        if self.use_fixed_ham:
+            dig.update(np.asarray(self.env.randH).tobytes())
+        cfg = self._cfg()
+        key = ("ppo_epoch", cfg._replace(noise=0.0), dig.hexdigest(),
+               str(h0.dtype), self.gamma, self.lam, self.rollout_sweeps,
+               self.fused_critic, self.fused_rollout, self.use_fixed_ham,
+               self.train_size, self.use_wass_value_targets,
+               self.wass_bootstrap_reps, self.num_agents == 1,
+               steps_per_epoch, clip_ratio, pi_lr, vf_lr, max_ep_len,
+               train_pi_iters, train_v_iters, target_kl)
+        fn = cached_program(key, lambda: self._build_epoch_impl(
+            steps_per_epoch, clip_ratio, pi_lr, vf_lr, max_ep_len,
+            train_pi_iters, train_v_iters, target_kl))
+
+        def epoch_fn(st):
+            return fn(st, jnp.asarray(float(self.env.noise), h0.dtype))
+        return epoch_fn
+
+    def _build_epoch_impl(self, steps_per_epoch, clip_ratio, pi_lr, vf_lr,
+                          max_ep_len, train_pi_iters, train_v_iters,
+                          target_kl):
+        """Builds the jitted `(st, noise) -> (st, EpochOut)` program.
 
         The rollout keeps the agent batch in the LANES dimension of the
         env physics — perturbed Hamiltonians are assembled directly as
@@ -317,7 +353,7 @@ class PPO_en:
             phi = phi.reshape(a_cnt, r_cnt).mean(-1)
             return phr * phr + phi * phi
 
-        def rollout(st: AgentState):
+        def rollout(st: AgentState, noise):
             a_cnt = st.obs.shape[0]
             t_len = steps_per_epoch
 
@@ -329,10 +365,10 @@ class PPO_en:
             eps_all = jax.random.normal(k_eps, (t_len, a_cnt, d), dt)
             if cfg.ham_noisy and fixed_r is None:
                 zdiag_all = jax.random.normal(
-                    k_hn, (t_len, a_cnt, n), dt) * cfg.noise
+                    k_hn, (t_len, a_cnt, n), dt) * noise
                 znn_all = jax.random.normal(
                     jax.random.fold_in(k_hn, 1),
-                    (t_len, a_cnt, n - 1), dt) * cfg.noise
+                    (t_len, a_cnt, n - 1), dt) * noise
             else:
                 zdiag_all = jnp.zeros((t_len, 1, 1), dt)
                 znn_all = jnp.zeros((t_len, 1, 1), dt)
@@ -509,18 +545,13 @@ class PPO_en:
                                                    (params, vf_opt))
             return params, pi_opt, vf_opt, kl, pi_iters
 
-        if self.use_wass_value_targets:
-            from code_robchar_tpu.models import objectives
-            spec = objectives.ObjectiveSpec(
-                h0=h0, in_spin=cfg.in_spin, out_spin=cfg.out_spin,
-                noise=cfg.noise, fid_noisy=False, ham_noisy=True,
-                draws=cfg.draws, adaptive=False, adp_tol=cfg.adp_tol,
-                fixed_hams=None, mul_fac=1)
-            wass = objectives.make_wass_cost(spec, self.wass_bootstrap_reps)
+        use_wass_targets = self.use_wass_value_targets
+        wass_reps = self.wass_bootstrap_reps
 
-        def epoch(st: AgentState):
-            """st leaves carry a leading agent axis A (>= 1)."""
-            (env_st, obs_f, ep_len, key), traj = rollout(st)
+        def epoch(st: AgentState, noise):
+            """st leaves carry a leading agent axis A (>= 1); noise is the
+            sigma_train operand."""
+            (env_st, obs_f, ep_len, key), traj = rollout(st, noise)
             (obs, act, rew, obs2, done, ttimeout, fc) = traj
             # traj leaves are (T, A, ...)
             t_len, a_cnt = rew.shape
@@ -556,9 +587,18 @@ class PPO_en:
                 lambda r, v, b, bo: gae_and_returns(r, v, b, bo, gamma,
                                                     lam),
                 in_axes=1, out_axes=1)(rew, val, boundaries, boot)
-            if self.use_wass_value_targets:
+            if use_wass_targets:
                 # value targets become -W1(F(obs), delta(1)) per visited
-                # controller (ppo.py:280-283), one vmapped batch
+                # controller (ppo.py:280-283), one vmapped batch; the
+                # spec is built inside the trace so sigma stays an
+                # operand
+                from code_robchar_tpu.models import objectives
+                spec = objectives.ObjectiveSpec(
+                    h0=h0, in_spin=cfg.in_spin, out_spin=cfg.out_spin,
+                    noise=noise, fid_noisy=False, ham_noisy=True,
+                    draws=cfg.draws, adaptive=False, adp_tol=cfg.adp_tol,
+                    fixed_hams=None, mul_fac=1)
+                wass = objectives.make_wass_cost(spec, wass_reps)
                 kw = jax.random.split(jax.random.fold_in(key[0], 11),
                                       t_len * a_cnt)
                 rets = -jax.vmap(wass)(
@@ -595,9 +635,9 @@ class PPO_en:
 
         if self.num_agents == 1:
             # unbatched AgentState in, (T,)-shaped EpochOut leaves out
-            def single(st: AgentState):
+            def single(st: AgentState, noise):
                 stb = jax.tree.map(lambda x: jnp.asarray(x)[None], st)
-                stb2, out = epoch_jit(stb)
+                stb2, out = epoch_jit(stb, noise)
                 st2 = jax.tree.map(lambda x: x[0], stb2)
                 out = jax.tree.map(lambda x: x[0], out)
                 return st2, out

@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 
 from code_robchar_tpu.models import objectives
-from code_robchar_tpu.models.base import BatchResult, ControlOptimizer
+from code_robchar_tpu.models.base import (BatchResult, ControlOptimizer,
+                                           cached_program)
 from code_robchar_tpu.ops.realform import fidelity_from_controller_sym
 
 _N_JIT = 2       # class-3 jitter candidates per round
@@ -115,26 +116,28 @@ class SNOB(ControlOptimizer):
     def __init__(self, *args, budget: int = 300, **kwargs):
         super().__init__(*args, **kwargs)
         self.budget = budget  # qnewton.py:818-821: 300 either way
-        self._batch_fn = None
-        self._batch_cfg = None
 
     def _build_batch_fn(self):
-        spec = self.spec()
-        infid_b = objectives.make_infidelity_batch(spec)
+        use_fixed = self.use_fixed_ham
+        mul_fac = self.train_size if use_fixed else 1
         lower, upper = self._lower, self._upper
         budget = self.budget
         h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
+        make_spec = self._traced_spec
         # reference accounting: funccalls += budget (*train_size when
         # fixed-ham), regardless of the solver's internal eval count
         # (qnewton.py:862-866); adaptive uses the in-band increments.
-        flat_bill = None if spec.adaptive else budget * spec.mul_fac
+        flat_bill = None if self.adaptive else budget * mul_fac
 
-        @jax.jit
-        def run_batch(x0s, keys):
+        def run_batch_impl(x0s, keys, noise, fixed):
+            # spec built inside the trace: the noise level / fixed
+            # ensemble are operands (base._PROGRAM_CACHE)
+            spec = make_spec(noise, fixed)
+            infid_b = objectives.make_infidelity_batch(spec)
             k = x0s.shape[0]
             xs, f, nfev = _snob_restarts_batched(x0s, keys[0], infid_b,
                                                  lower, upper, budget)
-            if spec.fixed_hams is not None:
+            if use_fixed:
                 fids = trues = 1.0 - f  # qnewton.py:842-844
             else:
                 # rank by SNOBFIT's reported optimum 1 - optval = the min
@@ -150,12 +153,15 @@ class SNOB(ControlOptimizer):
             return BatchResult(xs, fids, trues, billed,
                                jnp.zeros(k, jnp.int32))
 
-        return run_batch
+        if use_fixed:
+            return jax.jit(run_batch_impl)
+        return jax.jit(lambda x0s, keys, noise:
+                       run_batch_impl(x0s, keys, noise, None))
 
     def _run_batch(self, x0s, keys) -> BatchResult:
-        cfg = (float(self.noise), bool(self.fid_noisy), bool(self.ham_noisy),
-               bool(self.use_fixed_ham), int(self.draws), bool(self.adaptive))
-        if self._batch_fn is None or cfg != self._batch_cfg:
-            self._batch_fn = self._build_batch_fn()
-            self._batch_cfg = cfg
-        return self._batch_fn(x0s, keys)
+        fn = cached_program(
+            ("snob", self._objective_statics(), self.budget),
+            self._build_batch_fn)
+        if self.use_fixed_ham:
+            return fn(x0s, keys, self._noise_operand(), self.randH)
+        return fn(x0s, keys, self._noise_operand())

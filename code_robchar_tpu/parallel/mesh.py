@@ -177,23 +177,28 @@ def sharded_run_batch(mesh: Mesh, opt, x0s, keys):
         # instance keeps the mesh afterwards — subsequent run()/segments
         # of this opt continue sharded.
         opt.mesh = mesh
-        opt._seg_fns = None
-        if hasattr(opt, "_stream"):
-            del opt._stream
+        opt._stream = None
+        opt._table = None
         return opt._run_batch(shard_batch(mesh, x0s, axis=0),
                               shard_batch(mesh, keys, axis=0))
 
     shard_map = jax.shard_map
 
     # A FRESH batch fn per sharded call: tracing the optimizer's cached
-    # jitted _batch_fn inside shard_map poisons its trace cache for
+    # jitted batch program inside shard_map poisons its trace cache for
     # later plain calls (the manual-axes trace collides with the
-    # same-shape plain entry), so the shared cache must not be touched
-    # here.  Cost: one re-trace per sharded_run_batch call.
+    # same-shape plain entry), so the shared program cache
+    # (base._PROGRAM_CACHE) must not be touched here.  Cost: one re-trace
+    # per sharded_run_batch call.  The noise level / fixed ensemble
+    # operands are closed over as replicated captures.
     raw = opt._build_batch_fn()
+    noise_op = opt._noise_operand()
+    fixed = opt.randH if opt.use_fixed_ham else None
 
     def local_run(x0s_blk, keys_blk):
-        return raw(x0s_blk, keys_blk)
+        if fixed is not None:
+            return raw(x0s_blk, keys_blk, noise_op, fixed)
+        return raw(x0s_blk, keys_blk, noise_op)
 
     # check_vma off: the optimizer kernels init loop carries from fresh
     # zero constants (unvaried), which trips shard_map's varying-axis

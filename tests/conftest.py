@@ -60,6 +60,9 @@ def _clear_jax_caches_between_modules():
 
 _SLOW_TESTS = {
     # round-3 additions
+    "tests/test_models.py::"
+    "test_program_cache_shares_compiles_across_sigma_cells",
+    "tests/test_models.py::test_ppo_epoch_program_shared_across_sigma_cells",
     "tests/test_models.py::test_lbfgs_lane_recycling_preserves_restarts",
     "tests/test_models.py::test_nmplus_lane_recycling_preserves_restarts",
     "tests/test_pallas.py::test_pallas_sym_grad_matches_lanes_interpret",
