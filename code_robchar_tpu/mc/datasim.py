@@ -136,6 +136,11 @@ class MCDataSim:
         key = self._algo_noise_key(algoname, training_noise)
         conts = np.asarray(
             self.controllers[algoname][key]["controller"], dtype=float)
+        if conts.size == 0:
+            # an empty store (e.g. nothing passed fid_threshold) parses as
+            # a 1-D (0,) array — keep the all-NaN-pad contract instead of
+            # crashing the concatenate below
+            conts = conts.reshape(0, self.Nspin + 1)
         c = self.numcontrollers
         if len(conts) >= c:
             return conts[:c]

@@ -168,6 +168,12 @@ def test_datasim_nan_padding(tmp_path):
     xs = sim._controller_matrix("ppo", "0.05")
     assert np.isnan(xs[5:]).all() and not np.isnan(xs[:5]).any()
 
+    # an EMPTY store cell (nothing passed fid_threshold) parses as a 1-D
+    # (0,) array — must yield the all-NaN pad, not a concatenate crash
+    sim.controllers["ppo"]["0.05"]["controller"] = []
+    xs = sim._controller_matrix("ppo", "0.05")
+    assert xs.shape == (8, 5) and np.isnan(xs).all()
+
 
 def test_best_controller_perf_rank_sum(rng):
     sim = MCDataSim.__new__(MCDataSim)  # no store needed for the static part
