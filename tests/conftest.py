@@ -13,6 +13,12 @@ import os
 # every interpreter; `jax.config.update("jax_platforms", ...)` below takes
 # precedence over it (plain JAX_PLATFORMS env does not).
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# No persistent compilation cache under pytest: the suite already skirts a
+# jaxlib 0.9.0 XLA-CPU compile crash (see _clear_jax_caches_between_modules
+# below); keeping the on-disk cache's serialize/deserialize work out of the
+# same fragile path makes full-suite runs deterministic.  Production runs
+# keep the cache (config.py).
+os.environ.setdefault("ROBCHAR_NO_COMPILATION_CACHE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -49,6 +55,11 @@ def _clear_jax_caches_between_modules():
     hook for future jax upgrades)."""
     yield
     if not os.environ.get("ROBCHAR_NO_CACHE_CLEAR"):
+        # the cross-instance program cache (models/base._PROGRAM_CACHE)
+        # holds PjitFunctions at module scope — drop those references
+        # first or clear_caches() can't release their executables
+        from code_robchar_tpu.models import base as _mbase
+        _mbase._PROGRAM_CACHE.clear()
         jax.clear_caches()
 
 
