@@ -44,6 +44,38 @@ if not os.environ.get("ROBCHAR_NO_COMPILATION_CACHE"):
         pass
 
 
+_handshake_started = False
+
+
+def absorb_relay_handshake() -> None:
+    """Overlap the backend's one-time fetch handshake with compilation.
+
+    The remote-TPU relay charges a large, variable one-time cost on the
+    FIRST device->host copy of an executed result (observed 30-50 s), and
+    it is billed to whichever fetch happens first — usually the first
+    batch result of a collection run.  Firing a trivial program and
+    fetching it in a daemon thread lets that handshake run concurrently
+    with the first real XLA compile (itself ~20 s), so neither the first
+    cell of an Experiment nor the first MC sweep of a figure script pays
+    it serially.  No-op after the first call and on backends without the
+    quirk (the fetch just completes fast)."""
+    global _handshake_started
+    if _handshake_started:
+        return
+    _handshake_started = True
+
+    def _go():
+        try:
+            import numpy as _np
+            out = jax.jit(lambda a: a @ a)(jnp.ones((8, 8)))
+            _np.asarray(out)
+        except Exception:   # pragma: no cover — best-effort warm-up
+            pass
+
+    import threading
+    threading.Thread(target=_go, daemon=True).start()
+
+
 def enable_x64() -> None:
     """Switch JAX to 64-bit mode (parity regime)."""
     jax.config.update("jax_enable_x64", True)

@@ -183,6 +183,8 @@ class MCDataSim:
                           noises, training_noise) -> Dict:
         """One device sweep for one algorithm's controller set; appends to
         (and re-dumps) the shared .mc cache file."""
+        from code_robchar_tpu import config
+        config.absorb_relay_handshake()   # overlaps the first compile
         noises = np.asarray(noises)
         tn = None if algoname == "lbfgs" else training_noise
         xs = self._controller_matrix(algoname, tn)

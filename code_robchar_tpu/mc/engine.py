@@ -311,6 +311,8 @@ def characterise(h0, controllers, noises, key, bootreps: int, in_spin: int,
     (L, C, B) fidelity tensor is never materialised — use it whenever the
     .mc cache isn't needed.
     """
+    from code_robchar_tpu import config
+    config.absorb_relay_handshake()   # overlaps the first compile
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     controllers = jnp.asarray(controllers)

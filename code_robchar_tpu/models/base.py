@@ -379,6 +379,8 @@ class ControlOptimizer:
 
     def run(self):
         """The reference's run() contract (qnewton.py:464-632), batched."""
+        from code_robchar_tpu import config
+        config.absorb_relay_handshake()   # overlaps the first compile
         deadline = Deadline(self.timeout)
         top = TopControllers(self.save_topc)
         rr = RunRecord(landscape_exploration=self.landscape_exploration,
@@ -394,15 +396,38 @@ class ControlOptimizer:
 
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
 
+        # static (data-INdependent) cap on the batch shape from the fcall
+        # budget and the nominal per-restart cost: every dispatch of this
+        # run — and of every other sigma cell at the same budget — then
+        # shares ONE shape, hence one XLA compile.
+        budget_cap = batch
+        if self.run_until_told_to_stop and self.run_until_completion_its \
+                and not self.persistent_streams:
+            est0 = float(getattr(self, "budget_per_restart", 300)) * \
+                (self.train_size if self.use_fixed_ham else 1)
+            budget_cap = max(1, int(np.ceil(
+                float(self.run_until_completion_its) / est0)))
+
         while reps_done < self.repeats:
-            k = min(batch, self.repeats - reps_done)
+            # the SCHEDULED batch: a deterministic shape sequence, so one
+            # XLA compile serves the whole run (and, through
+            # _PROGRAM_CACHE + the persistent cache, every later cell)
+            k_sched = min(batch, self.repeats - reps_done, budget_cap)
+            k = k_sched
             # budget-aware final-batch shrink (VERDICT r2 weak #3): the
             # reference checks the fcall budget per restart
             # (qnewton.py:595-625); a full device batch past the budget
             # would overshoot by batch * per-restart-evals.  Estimate the
             # per-restart cost from billing observed so far (exact for
-            # flat-billed SNOB/NM) and dispatch only what the remaining
-            # budget can pay for.
+            # flat-billed SNOB/NM) and BILL only what the remaining budget
+            # can pay for.  Crucially the shrink does NOT change the
+            # dispatch shape: a data-dependent final-batch size would pay
+            # a fresh ~20 s XLA compile for a ~0.2 s dispatch (measured on
+            # the TPU relay).  Instead the batch is PADDED back to the
+            # scheduled shape and the surplus lanes' results/billing are
+            # sliced off below — restart i's result is bit-identical
+            # either way (split(key, n)[:k] == split(key, k), and lane
+            # recycling is restart-for-restart invariant to pool mates).
             if self.run_until_told_to_stop and self.run_until_completion_its \
                     and not self.persistent_streams:
                 est = float(getattr(self, "budget_per_restart", 300)) * \
@@ -411,25 +436,33 @@ class ControlOptimizer:
                     est = max(1.0, funccalls / reps_done)
                 remaining = float(self.run_until_completion_its) - funccalls
                 k = min(k, max(1, int(np.ceil(remaining / est))))
-            # mesh dispatch needs k to be a multiple of the device count;
-            # round DOWN (never exceed repeats/budget) and run any final
-            # sub-mesh remainder unsharded.
-            shard_this = self.mesh is not None and k >= n_dev
+            # mesh dispatch needs the shape to be a multiple of the device
+            # count; round DOWN (never exceed repeats/budget) and run any
+            # final sub-mesh remainder unsharded.
+            shard_this = self.mesh is not None and k_sched >= n_dev
             if shard_this:
-                k = (k // n_dev) * n_dev
-            x0s = jnp.asarray(self.init_points(k))
-            keys = jax.random.split(self.next_key(), k)
+                k_sched = (k_sched // n_dev) * n_dev
+                k = min(k, k_sched)
+            x0s = self.init_points(k)
+            if k < k_sched:
+                # pad with copies of the last real start: the Sobol/uniform
+                # stream advances by exactly k (reference parity), and the
+                # pad lanes' outputs are discarded
+                x0s = np.concatenate(
+                    [x0s, np.repeat(x0s[-1:], k_sched - k, axis=0)])
+            x0s = jnp.asarray(x0s)
+            keys = jax.random.split(self.next_key(), k_sched)
             if shard_this:
                 from code_robchar_tpu.parallel import mesh as pmesh
                 x0s = pmesh.shard_batch(self.mesh, x0s)
                 keys = pmesh.shard_batch(self.mesh, keys)
             res = self._run_batch(x0s, keys)
 
-            xs = np.asarray(res.x)
-            fids = np.asarray(res.fid)
-            true_fids = np.asarray(res.true_fid)
-            funccalls += int(np.asarray(res.nfev).sum())
-            iters += int(np.asarray(res.nit).sum())
+            xs = np.asarray(res.x)[:k]
+            fids = np.asarray(res.fid)[:k]
+            true_fids = np.asarray(res.true_fid)[:k]
+            funccalls += int(np.asarray(res.nfev)[:k].sum())
+            iters += int(np.asarray(res.nit)[:k].sum())
             reps_done += k
 
             if self.verbose:
@@ -453,8 +486,8 @@ class ControlOptimizer:
                 if self.landscape_exploration:
                     top.offer_many(fids, xs)
                     if res.cand_fid is not None:
-                        cf = np.asarray(res.cand_fid).reshape(-1)
-                        cx = np.asarray(res.cand_x).reshape(cf.size, -1)
+                        cf = np.asarray(res.cand_fid)[:k].reshape(-1)
+                        cx = np.asarray(res.cand_x)[:k].reshape(cf.size, -1)
                         top.offer_many(cf, cx)
                 i = int(fids.argmax())
                 prev = rr.record["best_fid"]

@@ -662,6 +662,8 @@ class PPO_en:
             clip_ratio=0.2, pi_lr=3e-3, vf_lr=1e-3, max_ep_len=1000,
             train_pi_iters=200, train_v_iters=200, target_kl=0.01,
             logger_kwargs=None, save_freq=10):
+        from code_robchar_tpu import config
+        config.absorb_relay_handshake()   # overlaps the first compile
         if self.testing:
             seed_val = seed
         else:
