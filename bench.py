@@ -193,14 +193,17 @@ def main():
             keys = pmesh.shard_batch(mesh, keys)
         return x0s, keys
 
-    res = opt._run_batch(*zoo_inputs(5))
+    # multi-dev: the shard_map path (Pallas kernels cannot be
+    # GSPMD-auto-partitioned — parallel/mesh.py)
+    dispatch = opt._run_batch_sharded if n_dev > 1 else opt._run_batch
+    res = dispatch(*zoo_inputs(5))
     float(jnp.sum(res.fid))
-    res = opt._run_batch(*zoo_inputs(6))     # stall absorber
+    res = dispatch(*zoo_inputs(6))           # stall absorber
     float(jnp.sum(res.fid))
     zoo_times = []
     for i in range(3):                       # median-of-3 (relay jitter)
         t0 = time.perf_counter()
-        res = opt._run_batch(*zoo_inputs(7 + i))
+        res = dispatch(*zoo_inputs(7 + i))
         float(jnp.sum(res.fid))
         zoo_times.append(time.perf_counter() - t0)
     zoo_rate = k_rest / float(np.median(zoo_times))

@@ -76,23 +76,37 @@ class NStochOpt(MCDataSim):
         dropped, as in the reference."""
         save = (self.get_controller_name + "_arims_" + algo + nlvl +
                 marker + ".pickle")
-        # filter the checkpoint keys first so the TRUE fcall axis is
-        # available even on a pickle cache hit (the pickle stays a plain
-        # ndarray for reference wire-format interop, SURVEY §2.2)
+        # the pickle stays a plain ndarray for reference wire-format
+        # interop (SURVEY §2.2); OUR writes add a .fckeys.json sidecar
+        # recording which fcall checkpoints the rows were computed from,
+        # so a store regenerated with a different records_update_rate
+        # (same checkpoint COUNT, different spacing) invalidates the
+        # cache instead of silently mislabeling the x-axis
+        keyfile = save + ".fckeys.json"
         new_keys = None
         if cdict is not None and algo in cdict and nlvl in cdict[algo]:
             fcall_dict = {k: v for k, v in cdict[algo][nlvl].items()
                           if len(v) >= self.numcontrollers}
             new_keys = list(fcall_dict)
         if os.path.exists(save):
-            with open(save, "rb") as f:
-                arims = pickle.load(f)
-            # a cached tensor may predate the current controller dict; if
-            # the checkpoint counts disagree the keys cannot be trusted
-            # to label its rows (fall back to the index axis)
-            if new_keys is not None and len(new_keys) != len(arims):
-                new_keys = None
-            return arims, new_keys
+            stale = False
+            if os.path.exists(keyfile):
+                import json
+                with open(keyfile) as f:
+                    cached_keys = json.load(f)
+                if new_keys is not None and \
+                        [str(k) for k in new_keys] != \
+                        [str(k) for k in cached_keys]:
+                    stale = True    # recompute below
+            if not stale:
+                with open(save, "rb") as f:
+                    arims = pickle.load(f)
+                # a reference-shipped pickle has no sidecar; if the
+                # checkpoint counts disagree the keys cannot be trusted
+                # to label its rows (fall back to the index axis)
+                if new_keys is not None and len(new_keys) != len(arims):
+                    new_keys = None
+                return arims, new_keys
         if new_keys is None:
             raise KeyError(f"algo {algo!r} not in controller dict")
 
@@ -109,6 +123,9 @@ class NStochOpt(MCDataSim):
             arims[j] = rims_all.sum(axis=1) / len(conts)
         with open(save, "wb") as f:
             pickle.dump(arims, f)
+        import json
+        with open(keyfile, "w") as f:
+            json.dump([str(k) for k in new_keys], f)
         return arims, new_keys
 
     # -------------------------------------------------------------- plots

@@ -80,7 +80,7 @@ class Adam(ControlOptimizer):
         The noise level, the fixed-ham ensemble, and the per-instance
         Sobol restart table are runtime OPERANDS, so these programs are
         shared across instances and sigma cells (base._PROGRAM_CACHE)."""
-        make_spec = self._traced_spec
+        make_spec = self._traced_spec_fn()
         use_fixed = self.use_fixed_ham
         h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
         lower, upper = self._lower, self._upper
@@ -182,11 +182,43 @@ class Adam(ControlOptimizer):
                         one_restart_impl(w, m, v, it, ptr, keys, table,
                                          noise, None)))
 
+    def _sharded_segments(self, mesh, k: int):
+        """The two segment variants built for the LOCAL stream block and
+        wrapped in shard_map over the stream axis (the Sobol table keeps
+        its stream axis sharded too, so local `sids` index local table
+        blocks and the global draw-disjointness contract holds).  Manual
+        axes because the gradient kernels are Pallas on TPU and Mosaic
+        custom calls cannot be GSPMD-auto-partitioned; the program is
+        elementwise along streams, so there are no collectives.  Built
+        fresh (not from the plain program cache — a manual-axes trace of
+        the cached program would poison its plain entries) and cached by
+        the caller under a mesh-qualified key."""
+        from jax.sharding import PartitionSpec as P
+
+        from code_robchar_tpu.parallel.mesh import BATCH_AXIS
+
+        n_dev = mesh.devices.size
+        fns = self._build_segments(k // n_dev)
+        b = P(BATCH_AXIS)
+        in_specs = (b, b, b, b, b, b, P(None, BATCH_AXIS), P())
+        if self.use_fixed_ham:
+            in_specs = in_specs + (P(),)
+        return tuple(
+            jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                          out_specs=b, check_vma=False)
+            for fn in fns)
+
     def _run_batch(self, x0s, keys) -> BatchResult:
         """One segment of `segment_its` Adam iterations across the stream
         batch.  The base-class loop treats each segment as a 'batch of
         restarts' for record purposes; probes tally into nfev/nit."""
         k = x0s.shape[0]
+        # shard only when the stream count fills the mesh; smaller stream
+        # sets fall back to the plain single-device program instead of
+        # raising (the base run loop's sub-mesh remainder contract)
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        shard = self.mesh if (self.mesh is not None and k >= n_dev
+                              and k % n_dev == 0) else None
         if self._stream is None or self._stream[0].shape[0] != k:
             # stream-strided Sobol restart table: entry [ptr, sid] is
             # global Sobol draw ptr * K + sid (disjoint per-stream
@@ -199,20 +231,24 @@ class Adam(ControlOptimizer):
             self._stream = (jnp.asarray(x0s), m0, v0,
                             jnp.zeros(k, jnp.int32),
                             jnp.zeros(k, jnp.int32))
-            if self.mesh is not None:
-                # lay the whole stream state out with the stream axis
-                # split over the mesh: the jitted segment programs are
-                # elementwise along streams, so GSPMD partitions them
-                # with no collectives (the Sobol restart table stays
-                # replicated — ~KB-scale)
+            if shard is not None:
+                # lay the stream state (and the table's stream axis) out
+                # across the mesh so the first sharded dispatch starts
+                # without an implicit reshard
                 from code_robchar_tpu.parallel import mesh as pmesh
-                pmesh.check_divisible(self.mesh, k, "stream")
                 self._stream = pmesh.shard_leading_tree(
-                    self.mesh, self._stream, k)
-        seg_fns = cached_program(
-            ("adam", self._objective_statics(), k, self.segment_its,
-             self.cand_per_segment),
-            lambda: self._build_segments(k))
+                    shard, self._stream, k)
+                self._table = pmesh.shard_batch(shard, self._table, axis=1)
+        if shard is not None:
+            seg_fns = cached_program(
+                ("adam", self._objective_statics(), k, self.segment_its,
+                 self.cand_per_segment, "sharded", shard),
+                lambda: self._sharded_segments(shard, k))
+        else:
+            seg_fns = cached_program(
+                ("adam", self._objective_statics(), k, self.segment_its,
+                 self.cand_per_segment),
+                lambda: self._build_segments(k))
         w, m, v, it, ptr = self._stream
         its_done = int(it[0])
         restart_due = (its_done + self.segment_its) % _RESTART_EVERY == 0

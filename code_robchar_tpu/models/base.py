@@ -131,11 +131,13 @@ class ControlOptimizer:
         self.fun_call_limit = 1e10
         self.restart_batch = restart_batch
         #: optional jax.sharding.Mesh: restart/stream batches are laid out
-        #: with their batch axis split over the mesh and the SAME jitted
-        #: batch programs partition under GSPMD (SURVEY §2.4 — restarts
-        #: are embarrassingly parallel, so partitioning is collective-free
-        #: along the batch axis).  First-class multi-chip surface for the
-        #: whole zoo (VERDICT r2 next #1).
+        #: with their batch axis split over the mesh and dispatched through
+        #: shard_map-wrapped copies of the SAME batch programs (SURVEY §2.4
+        #: — restarts are embarrassingly parallel, so the manual programs
+        #: are collective-free along the batch axis; manual axes are
+        #: required because Pallas/Mosaic kernels cannot be
+        #: GSPMD-auto-partitioned).  First-class multi-chip surface for
+        #: the whole zoo (VERDICT r2 next #1).
         self.mesh = mesh
 
         assert self.Tmax >= self.Tmin and self.Bmax >= self.Bmin
@@ -195,19 +197,31 @@ class ControlOptimizer:
             fixed_hams=self.randH if self.use_fixed_ham else None,
             mul_fac=self.train_size if self.use_fixed_ham else 1)
 
-    def _traced_spec(self, noise, fixed=None) -> objectives.ObjectiveSpec:
-        """ObjectiveSpec with the noise level (and the fixed-ham ensemble)
-        as TRACED operands — built inside the jitted batch programs so one
-        compile serves every sigma (structured_perturbation already accepts
-        a traced scale).  Everything else read here is part of
-        `_objective_statics`, so sharing the closure across instances via
-        `cached_program` is sound."""
-        return objectives.ObjectiveSpec(
-            h0=self.HH, in_spin=self.In, out_spin=self.Out, noise=noise,
-            fid_noisy=bool(self.fid_noisy), ham_noisy=bool(self.ham_noisy),
-            draws=int(self.draws), adaptive=bool(self.adaptive),
-            adp_tol=float(self.adp_tol), fixed_hams=fixed,
-            mul_fac=self.train_size if self.use_fixed_ham else 1)
+    def _traced_spec_fn(self):
+        """Returns `make_spec(noise, fixed=None) -> ObjectiveSpec` with the
+        noise level (and the fixed-ham ensemble) as TRACED operands — built
+        inside the jitted batch programs so one compile serves every sigma
+        (structured_perturbation already accepts a traced scale).
+
+        A closure factory rather than a bound method so the batch-program
+        builders capture ONLY these plain values: a cached program must not
+        pin its first builder INSTANCE (and with it multi-MB fixed-ham
+        ensembles) alive in `_PROGRAM_CACHE` for the process lifetime.
+        Everything captured here is part of `_objective_statics`, so sharing
+        the closure across instances via `cached_program` is sound."""
+        h0, in_spin, out_spin = self.HH, self.In, self.Out
+        fid_noisy, ham_noisy = bool(self.fid_noisy), bool(self.ham_noisy)
+        draws, adaptive = int(self.draws), bool(self.adaptive)
+        adp_tol = float(self.adp_tol)
+        mul_fac = self.train_size if self.use_fixed_ham else 1
+
+        def make_spec(noise, fixed=None):
+            return objectives.ObjectiveSpec(
+                h0=h0, in_spin=in_spin, out_spin=out_spin, noise=noise,
+                fid_noisy=fid_noisy, ham_noisy=ham_noisy, draws=draws,
+                adaptive=adaptive, adp_tol=adp_tol, fixed_hams=fixed,
+                mul_fac=mul_fac)
+        return make_spec
 
     def _objective_statics(self) -> tuple:
         """Every instance attribute the batch-program builders read that is
@@ -357,6 +371,31 @@ class ControlOptimizer:
     def _run_batch(self, x0s: jnp.ndarray, keys: jax.Array) -> BatchResult:
         raise NotImplementedError
 
+    def _program_key(self) -> tuple:
+        """Family-specific `_PROGRAM_CACHE` key of the batched restart
+        program (stateless-batch optimizers only)."""
+        raise NotImplementedError
+
+    def _run_batch_sharded(self, x0s: jnp.ndarray,
+                           keys: jax.Array) -> BatchResult:
+        """`_run_batch` with the restart axis split over ``self.mesh``.
+
+        One shard_map program per (family statics, mesh), shared across
+        instances and sigma cells exactly like the plain programs — see
+        parallel.mesh.build_sharded_batch_fn for why manual axes are
+        required (Pallas/Mosaic kernels cannot be GSPMD-auto-partitioned)
+        and for the determinism contract.  Persistent-stream optimizers
+        (Adam) manage their own sharding inside `_run_batch`."""
+        if self.persistent_streams:
+            return self._run_batch(x0s, keys)
+        from code_robchar_tpu.parallel import mesh as pmesh
+        fn = cached_program(
+            self._program_key() + ("sharded", self.mesh),
+            lambda: pmesh.build_sharded_batch_fn(self.mesh, self))
+        if self.use_fixed_ham:
+            return fn(x0s, keys, self._noise_operand(), self.randH)
+        return fn(x0s, keys, self._noise_operand())
+
     def _batch_size(self) -> int:
         if self.restart_batch:
             return self.restart_batch
@@ -456,7 +495,9 @@ class ControlOptimizer:
                 from code_robchar_tpu.parallel import mesh as pmesh
                 x0s = pmesh.shard_batch(self.mesh, x0s)
                 keys = pmesh.shard_batch(self.mesh, keys)
-            res = self._run_batch(x0s, keys)
+                res = self._run_batch_sharded(x0s, keys)
+            else:
+                res = self._run_batch(x0s, keys)
 
             xs = np.asarray(res.x)[:k]
             fids = np.asarray(res.fid)[:k]

@@ -335,7 +335,7 @@ class LBFGS(ControlOptimizer):
         # scipy's default maxfun=15000 when noiseless.
         maxfun = 500 if noisy else 15000
         h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
-        make_spec = self._traced_spec
+        make_spec = self._traced_spec_fn()
 
         if noisy and use_wass and use_fixed:
             raise NotImplementedError(
@@ -410,10 +410,12 @@ class LBFGS(ControlOptimizer):
         return jax.jit(lambda x0s, keys, noise:
                        run_batch_impl(x0s, keys, noise, None))
 
+    def _program_key(self) -> tuple:
+        return ("lbfgs", self._objective_statics(), self.maxiter,
+                self.lane_width)
+
     def _run_batch(self, x0s, keys) -> BatchResult:
-        fn = cached_program(
-            ("lbfgs", self._objective_statics(), self.maxiter,
-             self.lane_width), self._build_batch_fn)
+        fn = cached_program(self._program_key(), self._build_batch_fn)
         if self.use_fixed_ham:
             return fn(x0s, keys, self._noise_operand(), self.randH)
         return fn(x0s, keys, self._noise_operand())

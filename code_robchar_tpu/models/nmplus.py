@@ -363,7 +363,7 @@ class NMPlus(ControlOptimizer):
         maxfev = self.maxfev
         lane_width = self.lane_width
         h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
-        make_spec = self._traced_spec
+        make_spec = self._traced_spec_fn()
 
         def run_batch_impl(x0s, keys, noise, fixed):
             # spec built inside the trace: the noise level / fixed
@@ -396,10 +396,12 @@ class NMPlus(ControlOptimizer):
         return jax.jit(lambda x0s, keys, noise:
                        run_batch_impl(x0s, keys, noise, None))
 
+    def _program_key(self) -> tuple:
+        return ("nmplus", self._objective_statics(), self.maxfev,
+                self.lane_width)
+
     def _run_batch(self, x0s, keys) -> BatchResult:
-        fn = cached_program(
-            ("nmplus", self._objective_statics(), self.maxfev,
-             self.lane_width), self._build_batch_fn)
+        fn = cached_program(self._program_key(), self._build_batch_fn)
         if self.use_fixed_ham:
             return fn(x0s, keys, self._noise_operand(), self.randH)
         return fn(x0s, keys, self._noise_operand())

@@ -218,9 +218,33 @@ class PPO_en:
                self.wass_bootstrap_reps, self.num_agents == 1,
                steps_per_epoch, clip_ratio, pi_lr, vf_lr, max_ep_len,
                train_pi_iters, train_v_iters, target_kl)
-        fn = cached_program(key, lambda: self._build_epoch_impl(
-            steps_per_epoch, clip_ratio, pi_lr, vf_lr, max_ep_len,
-            train_pi_iters, train_v_iters, target_kl))
+        if self.mesh is not None and self.num_agents > 1:
+            # agent axis split over the mesh, as a shard_map program: the
+            # epoch is elementwise along agents (each agent trains its own
+            # actor-critic), and manual axes are REQUIRED because the
+            # rollout/critic Pallas kernels (Mosaic custom calls) cannot
+            # be GSPMD-auto-partitioned on a multi-device host.  A fresh
+            # epoch impl — tracing the plain cached program inside
+            # shard_map would poison its trace cache for plain calls.
+            from jax.sharding import PartitionSpec as P
+
+            from code_robchar_tpu.parallel.mesh import BATCH_AXIS
+
+            def build_sharded():
+                raw = self._build_epoch_impl(
+                    steps_per_epoch, clip_ratio, pi_lr, vf_lr, max_ep_len,
+                    train_pi_iters, train_v_iters, target_kl)
+                return jax.shard_map(
+                    raw, mesh=self.mesh,
+                    in_specs=(P(BATCH_AXIS), P()),
+                    out_specs=P(BATCH_AXIS), check_vma=False)
+
+            fn = cached_program(key + ("sharded", self.mesh),
+                                build_sharded)
+        else:
+            fn = cached_program(key, lambda: self._build_epoch_impl(
+                steps_per_epoch, clip_ratio, pi_lr, vf_lr, max_ep_len,
+                train_pi_iters, train_v_iters, target_kl))
 
         def epoch_fn(st):
             return fn(st, jnp.asarray(float(self.env.noise), h0.dtype))

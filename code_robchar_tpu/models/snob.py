@@ -123,7 +123,7 @@ class SNOB(ControlOptimizer):
         lower, upper = self._lower, self._upper
         budget = self.budget
         h0, in_spin, out_spin = jnp.real(self.HH), self.In, self.Out
-        make_spec = self._traced_spec
+        make_spec = self._traced_spec_fn()
         # reference accounting: funccalls += budget (*train_size when
         # fixed-ham), regardless of the solver's internal eval count
         # (qnewton.py:862-866); adaptive uses the in-band increments.
@@ -158,10 +158,11 @@ class SNOB(ControlOptimizer):
         return jax.jit(lambda x0s, keys, noise:
                        run_batch_impl(x0s, keys, noise, None))
 
+    def _program_key(self) -> tuple:
+        return ("snob", self._objective_statics(), self.budget)
+
     def _run_batch(self, x0s, keys) -> BatchResult:
-        fn = cached_program(
-            ("snob", self._objective_statics(), self.budget),
-            self._build_batch_fn)
+        fn = cached_program(self._program_key(), self._build_batch_fn)
         if self.use_fixed_ham:
             return fn(x0s, keys, self._noise_operand(), self.randH)
         return fn(x0s, keys, self._noise_operand())

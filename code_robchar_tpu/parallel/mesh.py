@@ -5,8 +5,12 @@ bootstrap reps (mcsim.py:452-455; commented-out MPI hooks in ppo.py are the
 other fossil, SURVEY.md §2.4).  The TPU-native equivalent: a 1-D device
 mesh over the embarrassingly-parallel batch axis ("batch" = controllers for
 the MC engine, restarts for optimizers, environments for PPO).  Inputs are
-laid out with `jax.device_put` + NamedSharding; XLA then partitions the
-jitted program SPMD-style with at most an all-gather of the (L, C) metric
+laid out with `jax.device_put` + NamedSharding and every multi-device
+program runs under `jax.shard_map` (manual axes): the production programs
+contain Pallas kernels, and Mosaic custom calls cannot be auto-partitioned
+by GSPMD (jax's tpu_custom_call lowering raises under any multi-device
+ShardingContext).  The batch axes are embarrassingly parallel, so the
+manual programs carry at most an all-gather of the (L, C) metric
 reductions riding ICI — no DCN traffic at this problem scale.
 
 For a v5e-8 slice use make_mesh(8); the same code path is exercised on the
@@ -45,11 +49,11 @@ def shard_batch(mesh: Mesh, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
 def shard_leading_tree(mesh: Mesh, tree, batch_size: int):
     """device_put every array leaf whose leading dimension equals
     ``batch_size`` with that axis split across the mesh (other leaves are
-    left as-is).  This is how the agent/stream/restart batch of a whole
-    optimizer state pytree (PPO AgentState, Adam stream) is laid out for
-    SPMD execution: the already-jitted epoch/segment programs pick the
-    input shardings up and partition under GSPMD — no shard_map needed,
-    because every program is elementwise along the batch axis."""
+    left as-is).  This is how the agent/stream batch of a whole optimizer
+    state pytree (PPO AgentState, Adam stream) is laid out before feeding
+    the shard_map-wrapped epoch/segment programs: placing the leaves on
+    their owning devices up front avoids an implicit reshard on the first
+    dispatch."""
     def put(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == batch_size:
             spec = P(BATCH_AXIS, *([None] * (x.ndim - 1)))
@@ -138,21 +142,29 @@ def sharded_mc_metrics(mesh: Mesh, h0, controllers, noises, key,
     return jax.jit(fn)(ctrl)
 
 
-def sharded_run_batch(mesh: Mesh, opt, x0s, keys):
-    """Optimizer-zoo restart batch sharded over the mesh.
+def build_sharded_batch_fn(mesh: Mesh, opt):
+    """shard_map wrapper over a FRESH copy of ``opt``'s batched restart
+    program: ``fn(x0s, keys, noise[, fixed]) -> BatchResult`` with the
+    restart axis split over the mesh and the noise level / fixed-ham
+    ensemble replicated operands (so, like the plain programs, one
+    compile serves every sigma cell).
 
-    ``opt`` is a ControlOptimizer.  Stateless-batch optimizers
-    (lbfgs/nmplus/snob — optimizers exposing ``_build_batch_fn``) run
-    under shard_map below.  Adam's persistent segment streams carry state
-    on the instance; for it this function configures the instance's
-    ``mesh`` and advances the stream batch ONE segment with the stream
-    axis sharded (the same GSPMD path as ``Adam(mesh=...)`` — see
-    models/adam.py).  For either family the chosen optimizer's
-    ``_run_batch`` already advances every restart of a batch in lockstep
-    on one device, and restarts are embarrassingly parallel — so each
-    device runs the identical batched program on its block of
-    (x0s, keys).  Lane freezing is device-local: a device whose block
-    converges early stops iterating without waiting on the others.
+    Manual axes (shard_map) rather than GSPMD auto-partitioning because
+    the production batch programs contain Pallas kernels and Mosaic
+    custom calls cannot be auto-partitioned — jax's tpu_custom_call
+    lowering raises NotImplementedError under any multi-device
+    ShardingContext.  Under shard_map each device lowers and runs the
+    identical single-device program (Pallas kernels included) on its
+    block; restarts are embarrassingly parallel, so there are no
+    collectives.  Lane freezing/recycling is device-local: a device
+    whose block converges early stops iterating without waiting.
+
+    The inner program MUST be a fresh ``_build_batch_fn()`` product, not
+    the shared _PROGRAM_CACHE entry: tracing a cached jitted program
+    inside shard_map poisons its trace cache for later plain calls (the
+    manual-axes trace collides with the same-shape plain entry).
+    Callers cache the returned wrapper instead
+    (base.ControlOptimizer._run_batch_sharded).
 
     Determinism: a sharded run is deterministic given (mesh, inputs) —
     two identical calls are bitwise equal.  It is NOT bitwise equal to
@@ -165,47 +177,55 @@ def sharded_run_batch(mesh: Mesh, opt, x0s, keys):
     trajectory of the same optimizer; results are statistically
     equivalent.
     """
+    raw = opt._build_batch_fn()
+
+    if opt.use_fixed_ham:
+        def local_run(x0s_blk, keys_blk, noise, fixed):
+            return raw(x0s_blk, keys_blk, noise, fixed)
+        in_specs = (P(BATCH_AXIS), P(BATCH_AXIS), P(), P())
+    else:
+        def local_run(x0s_blk, keys_blk, noise):
+            return raw(x0s_blk, keys_blk, noise)
+        in_specs = (P(BATCH_AXIS), P(BATCH_AXIS), P())
+
+    # check_vma off: the optimizer kernels init loop carries from fresh
+    # zero constants (unvaried), which trips shard_map's varying-axis
+    # bookkeeping; the program is purely elementwise along the restart
+    # axis (no collectives), so replication checking adds nothing here.
+    return jax.shard_map(local_run, mesh=mesh, in_specs=in_specs,
+                         out_specs=P(BATCH_AXIS), check_vma=False)
+
+
+def sharded_run_batch(mesh: Mesh, opt, x0s, keys):
+    """Optimizer-zoo restart batch sharded over the mesh.
+
+    ``opt`` is a ControlOptimizer.  Stateless-batch optimizers
+    (lbfgs/nmplus/snob — optimizers exposing ``_build_batch_fn``) run
+    under the cached shard_map program (see build_sharded_batch_fn for
+    semantics + determinism contract).  Adam's persistent segment
+    streams carry state on the instance; for it this function configures
+    the instance's ``mesh`` and advances the stream batch ONE segment
+    with the stream axis sharded (the same shard_map path as
+    ``Adam(mesh=...)`` — see models/adam.py).  The instance keeps the
+    mesh afterwards — subsequent run()/segments continue sharded.
+    """
     x0s = jnp.asarray(x0s)
     k = x0s.shape[0]
     check_divisible(mesh, k, "restart")
 
     if not hasattr(opt, "_build_batch_fn"):
-        # Adam-style persistent streams: configure the instance's mesh,
-        # RESET any existing stream (otherwise a previously-initialised
-        # unsharded stream would advance instead and the given x0s would
-        # be silently ignored), and advance one sharded segment.  The
-        # instance keeps the mesh afterwards — subsequent run()/segments
-        # of this opt continue sharded.
+        # Adam-style persistent streams: RESET any existing stream
+        # (otherwise a previously-initialised unsharded stream would
+        # advance instead and the given x0s would be silently ignored).
         opt.mesh = mesh
         opt._stream = None
         opt._table = None
         return opt._run_batch(shard_batch(mesh, x0s, axis=0),
                               shard_batch(mesh, keys, axis=0))
 
-    shard_map = jax.shard_map
-
-    # A FRESH batch fn per sharded call: tracing the optimizer's cached
-    # jitted batch program inside shard_map poisons its trace cache for
-    # later plain calls (the manual-axes trace collides with the
-    # same-shape plain entry), so the shared program cache
-    # (base._PROGRAM_CACHE) must not be touched here.  Cost: one re-trace
-    # per sharded_run_batch call.  The noise level / fixed ensemble
-    # operands are closed over as replicated captures.
-    raw = opt._build_batch_fn()
-    noise_op = opt._noise_operand()
-    fixed = opt.randH if opt.use_fixed_ham else None
-
-    def local_run(x0s_blk, keys_blk):
-        if fixed is not None:
-            return raw(x0s_blk, keys_blk, noise_op, fixed)
-        return raw(x0s_blk, keys_blk, noise_op)
-
-    # check_vma off: the optimizer kernels init loop carries from fresh
-    # zero constants (unvaried), which trips shard_map's varying-axis
-    # bookkeeping; the program is purely elementwise along the restart
-    # axis (no collectives), so replication checking adds nothing here.
-    fn = shard_map(local_run, mesh=mesh,
-                   in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
-                   out_specs=P(BATCH_AXIS), check_vma=False)
-    return fn(shard_batch(mesh, x0s, axis=0),
-              shard_batch(mesh, keys, axis=0))
+    saved, opt.mesh = opt.mesh, mesh
+    try:
+        return opt._run_batch_sharded(shard_batch(mesh, x0s, axis=0),
+                                      shard_batch(mesh, keys, axis=0))
+    finally:
+        opt.mesh = saved

@@ -111,6 +111,16 @@ def test_fig8_scaling(tmp_path):
     path = y.all_noises_combined_scaling_plot(nlvls=(0.01,))
     assert os.path.exists(path)
 
+    # regenerating the store with the SAME checkpoint count but different
+    # fcall spacing must invalidate the pickle cache (the .fckeys.json
+    # sidecar), not relabel the stale rows with the new keys
+    ckpt2 = {str(int(f)): rng.uniform(-5, 5, (C, N + 1)).tolist()
+             for f in (5e5, 1e6)}
+    arims3, keys3 = y.get_arims("ppo", nlvl="0.01", marker="",
+                                cdict={"ppo": {"0.01": ckpt2}})
+    assert keys3 == ["500000", "1000000"]
+    assert not np.allclose(arims3, arims)   # recomputed, not stale rows
+
 
 def test_fig1_cdf_area(tmp_path):
     rng = np.random.default_rng(1)

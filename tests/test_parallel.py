@@ -163,6 +163,22 @@ def test_adam_mesh_kwarg_public_run():
     assert 1 <= len(opt.record["controllers"]) <= 8
 
 
+def test_adam_submesh_stream_falls_back_unsharded():
+    """A stream count smaller than the mesh must run unsharded instead of
+    raising (the base run loop's sub-mesh remainder contract; previously a
+    ValueError that Experiment's retry loop would silently swallow)."""
+    from code_robchar_tpu.models import Adam
+
+    mesh = make_mesh(8)
+    opt = Adam(4, 0, 2, testing=True, fid_threshold=0.0,
+               run_until_told_to_stop=True, run_until_completion_its=100,
+               landscape_exploration=True, save_topc=4,
+               restart_batch=4, segment_its=8, mesh=mesh)
+    best = opt.run()
+    assert best is not None and 0 <= best <= 1 + 1e-9
+    assert opt.record["func_calls"] >= 100
+
+
 def test_experiment_forwards_mesh(tmp_path):
     """Experiment(mesh=...) threads the mesh into every model it builds
     (ppo only when num_agents divides the mesh)."""
