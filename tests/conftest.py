@@ -134,6 +134,7 @@ _SLOW_TESTS = {
     "tests/test_reference_interop.py::test_fig1_reads_real_legacy_records",
     "tests/test_reference_interop.py::test_shipped_mc_tensor_numeric_parity[N4_0-2]",
     "tests/test_figs.py::test_fig8_scaling",
+    "tests/test_parallel.py::test_ppo_mesh_with_pallas_kernels_interpret",
     "tests/test_models.py::test_nm_stagnation_restart_fires",
     "tests/test_realform.py::test_gradient_sym_parity",
     "tests/test_realform.py::test_fidelity_sym_lanes_matches_rows",

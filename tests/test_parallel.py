@@ -163,6 +163,29 @@ def test_adam_mesh_kwarg_public_run():
     assert 1 <= len(opt.record["controllers"]) <= 8
 
 
+def test_ppo_mesh_with_pallas_kernels_interpret():
+    """pallas_call INSIDE the shard_map epoch: Mosaic kernels cannot be
+    GSPMD-auto-partitioned (jax tpu_custom_call lowering raises on any
+    multi-device ShardingContext), which is why every mesh path uses
+    manual axes.  This pins the combination the real multi-chip TPU
+    would run — the fused rollout + critic Pallas kernels inside the
+    sharded epoch — via their interpret mode on the CPU mesh (local
+    agent block 64 = the interpret-mode tile)."""
+    from code_robchar_tpu.models.ppo import PPO_en
+
+    mesh = make_mesh(2)
+    ppo = PPO_en(3, 0, 2, testing=True, fid_threshold=0.0,
+                 run_until_told_to_stop=True, run_until_completion_its=512,
+                 landscape_exploration=True, save_topc=8,
+                 num_agents=128, mesh=mesh,
+                 fused_rollout=True, fused_critic=True)
+    best = ppo.run(epochs=1, steps_per_epoch=4, train_pi_iters=2,
+                   train_v_iters=2)
+    assert 0 <= best <= 1 + 1e-9
+    # ~128 agents x 4 steps billed (exact billing pinned in test_ppo.py)
+    assert ppo.record["func_calls"] >= 500
+
+
 def test_adam_submesh_stream_falls_back_unsharded():
     """A stream count smaller than the mesh must run unsharded instead of
     raising (the base run loop's sub-mesh remainder contract; previously a
