@@ -64,7 +64,8 @@ class _State(NamedTuple):
     y_hist: jnp.ndarray   # (m, d)
     rho: jnp.ndarray      # (m,)
     hist_len: jnp.ndarray
-    nfev: jnp.ndarray
+    nfev: jnp.ndarray     # billed function calls (incl. draw multipliers)
+    ncall: jnp.ndarray    # OBJECTIVE calls — scipy's maxfun currency
     nit: jnp.ndarray
     done: jnp.ndarray
     key: jax.Array
@@ -151,7 +152,7 @@ _DEFAULT_LANES = 512
 
 
 def _batched_restarts(x0_pool, key, value_and_grad_b, lower, upper, maxiter,
-                      maxfun, lanes=None):
+                      maxfun, lanes=None, calls_per_eval=1):
     """ALL restarts in one lax.while_loop with LANE RECYCLING.
 
     The hardware batch is ``L = min(lanes, R)`` lanes wide; every
@@ -164,10 +165,22 @@ def _batched_restarts(x0_pool, key, value_and_grad_b, lower, upper, maxiter,
     converges at nit=1, mean 13.5, while the lockstep batch ran all 200
     maxiter rounds — a ~15x straggler waste.
 
-    A refilled lane spends one round "fresh": it skips the L-BFGS step and
-    piggybacks its initial (f, g) evaluation on the round's post-line-
-    search gradient batch, so refills cost zero extra kernel launches.
-    Per-restart trajectories and fcall billing are identical to the
+    The line search keeps the accepted candidate's GRADIENT, so no extra
+    evaluation chain runs after it — scipy's dcsrch evaluates fun+grad at
+    every trial and its ScalarFunction caches the accepted pair, so both
+    the launch count AND the fcall billing mirror scipy's
+    trials-per-iteration accounting (no systematic +1 eval/iteration).
+    A refilled lane spends one round "fresh": it skips the L-BFGS step
+    and piggybacks its initial (f, g) on the first line-search batch of
+    the round, so refills cost zero extra kernel launches.
+
+    ``maxfun`` gates on OBJECTIVE calls (``calls_per_eval`` per
+    fun-and-grad evaluation: d+1 for finite differences, 1 exact) — NOT
+    on billed fcalls, which scale with shot draws / bootstrap reps;
+    scipy's maxfun counts function evaluations (adaptive-shot billing
+    lands in a separate counter there, qnewton.py:421).
+
+    Per-restart trajectories and fcall billing are equivalent to the
     non-recycled loop (the noiseless objective is key-independent; noisy
     draws differ only in RNG schedule, which the parity contract — budget-
     matched distributions, SURVEY §7.4 — never pins)."""
@@ -190,6 +203,7 @@ def _batched_restarts(x0_pool, key, value_and_grad_b, lower, upper, maxiter,
                  rho=jnp.zeros((L, _M), x0_pool.dtype),
                  hist_len=jnp.zeros(L, jnp.int32),
                  nfev=jnp.zeros(L, jnp.int32),
+                 ncall=jnp.zeros(L, jnp.int32),
                  nit=jnp.zeros(L, jnp.int32),
                  done=jnp.zeros(L, bool), key=key)
     c0 = _Carry(st=st0, idx=jnp.arange(L, dtype=jnp.int32),
@@ -214,37 +228,47 @@ def _batched_restarts(x0_pool, key, value_and_grad_b, lower, upper, maxiter,
         # Armijo backtracking with box projection: each round evaluates
         # ONE candidate per still-searching lane and the loop exits as
         # soon as EVERY active lane has accepted (typical: 1-3 rounds —
-        # a fixed 20-round unroll wastes ~5x the evaluation chains)
+        # a fixed 20-round unroll wastes ~5x the evaluation chains).
+        # The batch is fun-AND-grad (scipy's dcsrch likewise evaluates
+        # both per trial); the accepted candidate's gradient is KEPT, so
+        # no post-line-search evaluation chain is needed.  Fresh lanes
+        # (direction == 0, so cands == their x0) piggyback their initial
+        # (f, g) on the first round.
+        need_fresh = c.fresh & c.live
+
         def ls_cond(carry):
-            step, x_new, f_new, accepted, nfev, key, tries = carry
-            return jnp.any((~accepted) & active) & (tries < _MAX_BACKTRACK)
+            (step, x_new, f_new, g_new, accepted, nfev, ncall, key,
+             tries) = carry
+            more = jnp.any((~accepted) & active) & (tries < _MAX_BACKTRACK)
+            return more | ((tries == 0) & jnp.any(need_fresh))
 
         def ls_body(carry):
-            step, x_new, f_new, accepted, nfev, key, tries = carry
+            (step, x_new, f_new, g_new, accepted, nfev, ncall, key,
+             tries) = carry
             key, kk = jax.random.split(key)
             cands = clip(st.x + step[:, None] * direction)
-            fc, _, cc = value_and_grad_b(cands, kk)
+            fc, gc, cc = value_and_grad_b(cands, kk)
             dd = jnp.sum(st.g * (cands - st.x), axis=-1)
             ok = fc <= st.f + _C1 * dd
             take = (~accepted) & active
+            fresh_now = need_fresh & (tries == 0)
+            got = (take & ok) | fresh_now
             x_new = jnp.where((take & ok)[:, None], cands, x_new)
-            f_new = jnp.where(take & ok, fc, f_new)
+            f_new = jnp.where(got, fc, f_new)
+            g_new = jnp.where(got[:, None], gc, g_new)
             accepted = accepted | (ok & active)
-            nfev = nfev + jnp.where(take, cc, 0)
+            billed = take | fresh_now
+            nfev = nfev + jnp.where(billed, cc, 0)
+            ncall = ncall + jnp.where(billed, calls_per_eval, 0)
             step = jnp.where(take, step * 0.5, step)
-            return step, x_new, f_new, accepted, nfev, key, tries + 1
+            return (step, x_new, f_new, g_new, accepted, nfev, ncall, key,
+                    tries + 1)
 
-        init = (jnp.full((L,), 1.0, st.x.dtype), st.x, st.f,
-                jnp.zeros(L, bool), st.nfev, st.key, jnp.int32(0))
-        (_, x_new, f_new, accepted, nfev, key, _) = jax.lax.while_loop(
-            ls_cond, ls_body, init)
-
-        # one combined batch: the accepted step's gradient for active
-        # lanes AND the initial (f, g) for fresh lanes
-        x_eval = jnp.where(c.fresh[:, None], st.x, x_new)
-        key, kg = jax.random.split(key)
-        f2, g_new, cg = value_and_grad_b(x_eval, kg)
-        nfev = nfev + jnp.where(c.live, cg, 0)
+        init = (jnp.full((L,), 1.0, st.x.dtype), st.x, st.f, st.g,
+                jnp.zeros(L, bool), st.nfev, st.ncall, st.key,
+                jnp.int32(0))
+        (_, x_new, f_new, g_new, accepted, nfev, ncall, key,
+         _) = jax.lax.while_loop(ls_cond, ls_body, init)
 
         s = x_new - st.x
         y = g_new - st.g
@@ -259,12 +283,12 @@ def _batched_restarts(x0_pool, key, value_and_grad_b, lower, upper, maxiter,
 
         upd = active & accepted
         x_cur = jnp.where(upd[:, None], x_new, st.x)
-        f_cur = jnp.where(c.fresh, f2, jnp.where(upd, f_new, st.f))
+        f_cur = jnp.where(c.fresh | upd, f_new, st.f)
         g_cur = jnp.where((c.fresh | upd)[:, None], g_new, st.g)
         nit = st.nit + active.astype(jnp.int32)
         done = st.done | (converged & active)
 
-        finished = active & (done | (nit >= maxiter) | (nfev >= maxfun))
+        finished = active & (done | (nit >= maxiter) | (ncall >= maxfun))
 
         # scatter finished restarts into the output buffer (dummy row R
         # absorbs the unfinished lanes' writes)
@@ -289,6 +313,7 @@ def _batched_restarts(x0_pool, key, value_and_grad_b, lower, upper, maxiter,
             rho=jnp.where(rz, 0.0, rho),
             hist_len=jnp.where(refill, 0, hist_len),
             nfev=jnp.where(refill, 0, nfev),
+            ncall=jnp.where(refill, 0, ncall),
             nit=jnp.where(refill, 0, nit),
             done=done & ~refill, key=key)
         return _Carry(st=st_new,
@@ -348,22 +373,27 @@ class LBFGS(ControlOptimizer):
                 "ham_noisy): the cost probes ham-noisy fidelity at "
                 "sigma=noise (qnewton.py:447-455) and the reference's "
                 "noiseless branch never consults the flag")
-        if noisy and use_wass:
-            # qnewton.py:512 selects the Wasserstein robustness cost in
-            # the noisy branch (the reference branch is de facto dead —
-            # no else => NameError — but the wiring is the documented
-            # intent): train on RIM_1 of 5 ham-noisy probes, billed 5
-            # fcalls per objective call.  The lane-freeze gate scales so
-            # it still means 500 OBJECTIVE calls (scipy's maxfun counts
-            # objective calls, not billed fcalls).
-            maxfun = maxfun * 5
+        # _batched_restarts gates maxfun on OBJECTIVE calls (scipy's
+        # maxfun currency, independent of shot-draw / bootstrap billing):
+        # a finite-difference fun-and-grad evaluation is d+1 objective
+        # calls, the exact-gradient evaluation is 1.
+        calls_per_eval = (d + 1) if noisy else 1
 
         # reference fcall accounting (see module docstring): non-adaptive
         # restarts bill d["funcalls"] * (mul_fac + 1).  The wass-cost path
-        # has no reference accounting to mirror (its branch never ran);
-        # it bills exactly bootstrap_reps per objective call, in-band.
+        # (qnewton.py:512 selects the Wasserstein robustness cost in the
+        # noisy branch — the reference branch is de facto dead, no else =>
+        # NameError, but the wiring is the documented intent) has no
+        # reference accounting to mirror; it bills exactly bootstrap_reps
+        # per objective call, in-band.  The NOISELESS branch bills with
+        # mul_fac = 1 even under use_fixed_ham: qnewton.py:496-497 takes
+        # the exact-gradient path on the clean drift and never consults
+        # the ensemble there (the fixed set only enters the noisy
+        # objective, :502-504) — mirrored below in make_vag.
         if noisy and use_wass:
             bill_mul = 1
+        elif not noisy:
+            bill_mul = 2          # d["funcalls"] * 1 + d["funcalls"]
         else:
             bill_mul = mul_fac + (0 if adaptive else 1)
 
@@ -388,7 +418,8 @@ class LBFGS(ControlOptimizer):
             spec = make_spec(noise, fixed)
             st = _batched_restarts(x0s, keys[0], make_vag(spec), lower,
                                    upper, maxiter, maxfun,
-                                   lanes=lane_width)
+                                   lanes=lane_width,
+                                   calls_per_eval=calls_per_eval)
             if use_fixed:
                 # reference: fi = true_fid = 1 - f under fixed-ham
                 # (qnewton.py:527-530)

@@ -39,7 +39,8 @@ _ALPHA, _GAMMA, _RHO, _SIGMA = 1.0, 2.0, 0.5, 0.5
 class _NMState(NamedTuple):
     simplex: jnp.ndarray   # (d+1, d)
     fvals: jnp.ndarray     # (d+1,)
-    nfev: jnp.ndarray
+    nfev: jnp.ndarray      # billed function calls (incl. draw multipliers)
+    ncall: jnp.ndarray     # OBJECTIVE calls — scipy's maxfev currency
     nit: jnp.ndarray
     key: jax.Array
     improv: jnp.ndarray    # last iteration's best-value improvement
@@ -63,19 +64,24 @@ def _nm_while(simplex0, key, infid, lower, upper, maxfev, xatol=1e-4,
     f0, c0 = jax.vmap(eval_at)(simplex0, jax.random.split(k0, d + 1))
     dt = f0.dtype
     st = _NMState(simplex0, f0, jnp.sum(c0).astype(jnp.int32),
+                  jnp.asarray(d + 1, jnp.int32),
                   jnp.asarray(0, jnp.int32), key,
                   jnp.asarray(0.0, dt),          # improv starts 0 — the
                   jnp.asarray(0, jnp.int32),     # first iteration counts
                   jnp.asarray(jnp.inf, dt))      # as stagnant (ref quirk)
 
     def cond(st):
+        # maxfev gates on OBJECTIVE calls (scipy NM counts function
+        # evaluations; adaptive shot billing is a separate counter in the
+        # reference, qnewton.py:421) — NOT on billed fcalls
         spread_f = jnp.max(jnp.abs(st.fvals - st.fvals[0]))
         spread_x = jnp.max(jnp.abs(st.simplex - st.simplex[0]))
-        return (st.nfev < maxfev) & ((spread_f > fatol) | (spread_x > xatol))
+        return (st.ncall < maxfev) & \
+            ((spread_f > fatol) | (spread_x > xatol))
 
     def body(st):
         improv, tries, prev_best = st.improv, st.tries, st.prev_best
-        nfev0, key0 = st.nfev, st.key
+        nfev0, ncall0, key0 = st.nfev, st.ncall, st.key
         simplex_in, fvals_in = st.simplex, st.fvals
         if stagnation_restart:
             # in-house accelerated variant (nmplus.py:162-170): after
@@ -87,23 +93,24 @@ def _nm_while(simplex0, key, infid, lower, upper, maxfev, xatol=1e-4,
                               tries + 1, tries)
 
             def restart(op):
-                _, _, nfev, key, _ = op
+                _, _, nfev, ncall, key, _ = op
                 key, kx, ks, ke = jax.random.split(key, 4)
                 x0 = lower + (upper - lower) * jax.random.uniform(
                     kx, (d,), dtype=simplex_in.dtype)
                 s = regular_simplex(x0, lower, upper, ks)
                 f, c = jax.vmap(eval_at)(s, jax.random.split(ke, d + 1))
-                return (s, f, (nfev + jnp.sum(c)).astype(jnp.int32), key,
-                        jnp.asarray(0, jnp.int32))
+                return (s, f, (nfev + jnp.sum(c)).astype(jnp.int32),
+                        ncall + d + 1, key, jnp.asarray(0, jnp.int32))
 
             def keep(op):
                 return op
 
-            (simplex_in, fvals_in, nfev0, key0, tries) = jax.lax.cond(
+            (simplex_in, fvals_in, nfev0, ncall0, key0,
+             tries) = jax.lax.cond(
                 stagnant & (tries >= max_tries), restart, keep,
-                (simplex_in, fvals_in, nfev0, key0, tries))
+                (simplex_in, fvals_in, nfev0, ncall0, key0, tries))
         st = st._replace(simplex=simplex_in, fvals=fvals_in, nfev=nfev0,
-                         key=key0)
+                         ncall=ncall0, key=key0)
 
         order = jnp.argsort(st.fvals)
         simplex = st.simplex[order]
@@ -161,13 +168,14 @@ def _nm_while(simplex0, key, infid, lower, upper, maxfev, xatol=1e-4,
         # billed fcalls.
         d_count = simplex.shape[0] - 1
         per_eval = cr  # all eval costs are equal (same objective)
-        nfev = (st.nfev + per_eval
-                + jnp.where(fr < f_best, per_eval, 0)
-                + jnp.where(~use_expand & ~use_reflect, per_eval, 0)
-                + jnp.where(shrink, per_eval * d_count, 0)).astype(jnp.int32)
+        seq_evals = (1 + jnp.where(fr < f_best, 1, 0)
+                     + jnp.where(~use_expand & ~use_reflect, 1, 0)
+                     + jnp.where(shrink, d_count, 0)).astype(jnp.int32)
+        nfev = (st.nfev + per_eval * seq_evals).astype(jnp.int32)
+        ncall = st.ncall + seq_evals
         best = jnp.min(fvals)
         improv = jnp.where(jnp.isinf(prev_best), best, prev_best - best)
-        return _NMState(simplex, fvals, nfev, st.nit + 1, key,
+        return _NMState(simplex, fvals, nfev, ncall, st.nit + 1, key,
                         improv, tries, best)
 
     st = jax.lax.while_loop(cond, body, st)
@@ -199,7 +207,9 @@ def _nm_while_batched(simplex0_pool, key, infid_b, lower, upper, maxfev,
     k = L
     st0 = (simplex0_pool[:L],
            jnp.zeros((L, dp1), simplex0_pool.dtype),
-           jnp.zeros(L, jnp.int32), jnp.zeros(L, jnp.int32), key,
+           jnp.zeros(L, jnp.int32),              # nfev (billed fcalls)
+           jnp.zeros(L, jnp.int32),              # ncall (objective calls)
+           jnp.zeros(L, jnp.int32), key,         # nit
            jnp.arange(L, dtype=jnp.int32),       # idx
            jnp.ones(L, bool),                    # live
            jnp.ones(L, bool),                    # fresh
@@ -209,17 +219,19 @@ def _nm_while_batched(simplex0_pool, key, infid_b, lower, upper, maxfev,
            jnp.zeros(R + 1, jnp.int32),          # out nfev
            jnp.zeros(R + 1, jnp.int32))          # out nit
 
-    def searching_of(simplex, fvals, nfev):
+    def searching_of(simplex, fvals, ncall):
+        # maxfev gates on OBJECTIVE calls (scipy NM counts function
+        # evaluations; adaptive billing is in-band in nfev only)
         spread_f = jnp.max(jnp.abs(fvals - fvals[:, :1]), axis=1)
         spread_x = jnp.max(jnp.abs(simplex - simplex[:, :1]), axis=(1, 2))
-        return (nfev < maxfev) & ((spread_f > fatol) | (spread_x > xatol))
+        return (ncall < maxfev) & ((spread_f > fatol) | (spread_x > xatol))
 
     def cond(st):
-        return jnp.any(st[6])
+        return jnp.any(st[7])
 
     def body(st):
-        (simplex_in, fvals_in, nfev, nit, key, idx, live, fresh, next_i,
-         out_s, out_f, out_nfev, out_nit) = st
+        (simplex_in, fvals_in, nfev, ncall, nit, key, idx, live, fresh,
+         next_i, out_s, out_f, out_nfev, out_nit) = st
         active = live & ~fresh
         order = jnp.argsort(fvals_in, axis=1)
         simplex = jnp.take_along_axis(simplex_in, order[:, :, None], axis=1)
@@ -279,13 +291,14 @@ def _nm_while_batched(simplex0_pool, key, infid_b, lower, upper, maxfev,
         # bill what the SEQUENTIAL algorithm would evaluate (scipy NM
         # accounting): reflect always; expand only when fr < f_best; one
         # contraction when neither accepts; d+1 re-evals on shrink.
-        bill = (per_eval
-                + jnp.where(fr < f_best, per_eval, 0)
-                + jnp.where(~use_expand & ~use_reflect, per_eval, 0)
-                + jnp.where(shrink, per_eval * (dp1 - 1), 0)
-                ).astype(jnp.int32)
+        seq_evals = (1 + jnp.where(fr < f_best, 1, 0)
+                     + jnp.where(~use_expand & ~use_reflect, 1, 0)
+                     + jnp.where(shrink, dp1 - 1, 0)).astype(jnp.int32)
+        bill = (per_eval * seq_evals).astype(jnp.int32)
         nfev = nfev + jnp.where(active, bill,
                                 jnp.where(fresh, init_bill, 0))
+        ncall = ncall + jnp.where(active, seq_evals,
+                                  jnp.where(fresh, dp1, 0))
 
         simplex = jnp.where(active[:, None, None], simplex, simplex_in)
         fvals = jnp.where(active[:, None], fvals,
@@ -295,7 +308,7 @@ def _nm_while_batched(simplex0_pool, key, infid_b, lower, upper, maxfev,
         # per-restart termination on the UPDATED state (initialized fresh
         # lanes included — a degenerate initial simplex terminates before
         # stepping, matching the lockstep loop's pre-step active check)
-        finished = live & ~searching_of(simplex, fvals, nfev)
+        finished = live & ~searching_of(simplex, fvals, ncall)
 
         tgt = jnp.where(finished, idx, R)
         out_s = out_s.at[tgt].set(simplex, mode="drop")
@@ -311,8 +324,9 @@ def _nm_while_batched(simplex0_pool, key, infid_b, lower, upper, maxfev,
                             simplex)
         fvals = jnp.where(refill[:, None], 0.0, fvals)
         nfev = jnp.where(refill, 0, nfev)
+        ncall = jnp.where(refill, 0, ncall)
         nit = jnp.where(refill, 0, nit)
-        return (simplex, fvals, nfev, nit, key,
+        return (simplex, fvals, nfev, ncall, nit, key,
                 jnp.where(refill, slot_c, idx),
                 (live & ~finished) | refill,
                 refill,
@@ -320,7 +334,8 @@ def _nm_while_batched(simplex0_pool, key, infid_b, lower, upper, maxfev,
                 out_s, out_f, out_nfev, out_nit)
 
     st = jax.lax.while_loop(cond, body, st0)
-    simplex, fvals, nfev, nit = st[9][:R], st[10][:R], st[11][:R], st[12][:R]
+    simplex, fvals, nfev, nit = (st[10][:R], st[11][:R], st[12][:R],
+                                 st[13][:R])
     best_i = jnp.argmin(fvals, axis=1)
     best_x = jnp.take_along_axis(simplex, best_i[:, None, None], axis=1)[:, 0]
     best_f = jnp.take_along_axis(fvals, best_i[:, None], axis=1)[:, 0]

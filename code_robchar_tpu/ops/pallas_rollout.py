@@ -13,18 +13,14 @@ the useful compute is ~30 us).  Each step is:
   noisy Hamiltonian assembly -> symmetric Jacobi transfer fidelity ->
   done/timeout bookkeeping
 
-Two kernels share the step math (`_step_math`):
-
-- ``make_actor_env_rollout`` — the PRODUCTION path (models/ppo.py):
-  grid (A/tile, T/tc), the actor weights DMA'd from HBM into
-  persistent VMEM scratch once per agent tile, the env carry held in
-  scratch across T-chunks, noise streamed in and the trajectory
-  streamed out.  v5e: rollout 62.6 -> 44 ms at 512 agents (vs the XLA
-  scan), epoch peak 1.43M env-steps/s at 1024 agents.
-- ``make_actor_env_step`` — one launch per step, weights re-read per
-  launch (~6 MB/tile): the single-step harness used to pin kernel
-  semantics against the XLA body, and the measured negative result
-  that motivated the whole-trajectory variant (only ~1%/epoch).
+``make_actor_env_rollout`` is the PRODUCTION path (models/ppo.py):
+grid (A/tile, T/tc), the actor weights DMA'd from HBM into persistent
+VMEM scratch once per agent tile, the env carry held in scratch across
+T-chunks, noise streamed in and the trajectory streamed out.  v5e:
+rollout 62.6 -> 44 ms at 512 agents (vs the XLA scan), epoch peak
+1.43M env-steps/s at 1024 agents.  (A one-launch-per-step variant was
+measured at only ~1%/epoch — weights re-read per launch, ~6 MB/tile —
+and removed; see PERF.md and git history.)
 
 Layout: EVERYTHING rides lanes on the agent axis (feature, A), the
 same orientation as the MC sweep and the in-scan physics
@@ -125,106 +121,6 @@ def _step_math(n, h, in_spin, out_spin, sweeps, bmax, maxtime, max_ep_len,
     nt = jnp.where(terminal, 0.0, tt)
     nep = jnp.where(terminal, 0.0, ep1)
     return a, fid, new_action, tt, done, ttimeout, nact, nt, nep
-
-
-@functools.lru_cache(maxsize=None)
-def make_actor_env_step(n: int, h: int, in_spin: int, out_spin: int,
-                        sweeps: int, bmax: float, maxtime: float,
-                        max_ep_len: int, ham_noisy: bool, tile: int,
-                        interpret: bool = False):
-    """Build the jitted fused step.
-
-    Returns ``step(w1, w2, w3, log_std, h0f, action, tstep, ep_len,
-    eps, zdiag, znn)`` with agent-trailing layouts:
-
-      w1 (n+2, h, A)  w2 (h+1, h, A)  w3 (h+1, n+1, A)   [bias folded
-      as the last input row]          log_std (n+1, A)
-      h0f (n*n, 1)    action (n, A)   tstep/ep_len (1, A) float32
-      eps (n+1, A)    zdiag (n, A)    znn (n-1, A)
-
-    -> (obs (n+1, A), a (n+1, A), fid (1, A), obs2 (n+1, A),
-        done (1, A), ttimeout (1, A), next_action (n, A),
-        next_t (1, A), next_ep (1, A)) — done/ttimeout as 0/1 float32,
-    ep_len as float32 counts (exact to 2**24).
-    """
-    d = n + 1          # obs/action dim
-    d1 = d + 1         # + folded bias row
-    nn = n * n
-    hp = h + (-h) % 8  # sublane-padded feature dims (fold_actor_weights)
-    dp = d + (-d) % 8
-    bmax = float(bmax)
-    maxtime = float(maxtime)
-
-    def kernel(w1, w2, w3, ls, h0f, act_in, t_in, ep_in,
-               eps, zdiag, znn,
-               obs_out, a_out, fid_out, obs2_out, done_out, tto_out,
-               nact_out, nt_out, nep_out, a_scr, v_scr):
-        action = act_in[:, :]                      # (n, T)
-        tstep = t_in[0, :]                         # (T,)
-        (a, fid, new_action, tt, done, ttimeout, nact, nt,
-         nep) = _step_math(n, h, in_spin, out_spin, sweeps, bmax,
-                           maxtime, max_ep_len, ham_noisy, tile,
-                           w1, w2, w3, ls, h0f, action, tstep,
-                           ep_in[0, :], eps[:, :], zdiag, znn,
-                           a_scr, v_scr)
-        for i in range(n):
-            obs_out[i, :] = action[i, :]
-            obs2_out[i, :] = new_action[i, :]
-        obs_out[n, :] = tstep
-        obs2_out[n, :] = tt
-        a_out[:, :] = a
-        fid_out[0, :] = fid
-        done_out[0, :] = done.astype(jnp.float32)
-        tto_out[0, :] = ttimeout.astype(jnp.float32)
-        nact_out[:, :] = nact
-        nt_out[0, :] = nt
-        nep_out[0, :] = nep
-
-    def spec(*shape):
-        return pl.BlockSpec(shape[:-1] + (tile,),
-                            lambda i, _s=len(shape): (0,) * (_s - 1) + (i,))
-
-    f32 = jnp.float32
-
-    @jax.jit
-    def step(w1, w2, w3, log_std, h0f, action, tstep, ep_len,
-             eps, zdiag, znn):
-        A = action.shape[-1]
-        grid = (A // tile,)
-        out_shape = [
-            jax.ShapeDtypeStruct((d, A), f32),    # obs
-            jax.ShapeDtypeStruct((d, A), f32),    # a
-            jax.ShapeDtypeStruct((1, A), f32),    # fid
-            jax.ShapeDtypeStruct((d, A), f32),    # obs2
-            jax.ShapeDtypeStruct((1, A), f32),    # done
-            jax.ShapeDtypeStruct((1, A), f32),    # ttimeout
-            jax.ShapeDtypeStruct((n, A), f32),    # next action
-            jax.ShapeDtypeStruct((1, A), f32),    # next t
-            jax.ShapeDtypeStruct((1, A), f32),    # next ep_len
-        ]
-        out_specs = [spec(d, A), spec(d, A), spec(1, A), spec(d, A),
-                     spec(1, A), spec(1, A), spec(n, A), spec(1, A),
-                     spec(1, A)]
-        in_specs = [
-            spec(d1, hp, A), spec(h + 1, hp, A), spec(h + 1, dp, A),
-            spec(dp, A),
-            pl.BlockSpec((nn, 1), lambda i: (0, 0)),
-            spec(n, A), spec(1, A), spec(1, A),
-            spec(d, A), spec(n, A), spec(n - 1, A),
-        ]
-        return pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            scratch_shapes=[pltpu.VMEM((nn, tile), f32),
-                            pltpu.VMEM((2 * n, tile), f32)],
-            interpret=interpret,
-        )(w1, w2, w3, log_std, h0f, action, tstep, ep_len,
-          eps, zdiag, znn)
-
-    return step
 
 
 @functools.lru_cache(maxsize=None)
@@ -372,10 +268,7 @@ def make_actor_env_rollout(n: int, h: int, in_spin: int, out_spin: int,
 
 def rollout_chunk(t_len: int) -> int:
     """Largest T-chunk <= 128 dividing the trajectory length."""
-    for c in (128, 125, 100, 64, 50, 40, 25, 20, 16, 10, 8, 5, 4, 2, 1):
-        if t_len % c == 0:
-            return c
-    return 1
+    return max(c for c in range(1, min(t_len, 128) + 1) if t_len % c == 0)
 
 
 def fold_actor_weights(params):
