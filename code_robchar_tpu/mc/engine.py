@@ -92,9 +92,10 @@ def _chunk_kernel_lanes(h0r, xs, scales, keys, in_spin, out_spin,
 
     t = jnp.abs(xs[:, n])
     if use_pallas:
-        from code_robchar_tpu.ops.pallas_jacobi import fidelity_herm_pallas
-        tile = min(1024, b)
-        if b % tile == 0:
+        from code_robchar_tpu.ops.pallas_jacobi import (fidelity_herm_pallas,
+                                                        pick_tile)
+        tile = pick_tile(b)
+        if tile is not None:
             return fidelity_herm_pallas(ar, ai, t, in_spin, out_spin,
                                         tile=tile)
     return realform.fidelity_herm_lanes(ar, ai, t, in_spin, out_spin)

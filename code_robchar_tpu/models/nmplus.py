@@ -187,19 +187,33 @@ def _nm_while_batched(simplex0_pool, key, infid_b, lower, upper, maxfev,
                       xatol=1e-4, fatol=1e-4, lanes=None):
     """ALL restarts in one lax.while_loop with LANE RECYCLING (same
     layout as models/lbfgs.py round 3): simplex0_pool (R, d+1, d) feeds a
-    ``lanes``-wide hardware batch; every candidate evaluation round is
-    ONE lanes objective batch (objectives.make_infidelity_batch).  A
-    restart that terminates scatters its simplex into the output buffer
-    and its lane is refilled with the next pool start in the same round —
-    wall-clock tracks the MEAN restart length (measured N=7: nit mean
-    103 / max 212, a ~2x lockstep straggler waste).  A refilled lane
-    spends one round "fresh": it skips the NM step and piggybacks its
-    initial d+1 vertex evaluations on the round's shrink batch, so
-    refills cost zero extra evaluation rounds.  Per-restart trajectories,
-    billing and convergence semantics match the single-restart
-    _nm_while."""
+    ``lanes``-wide hardware batch; a restart that terminates scatters its
+    simplex into the output buffer and its lane is refilled with the next
+    pool start in the same round — wall-clock tracks the MEAN restart
+    length (measured N=7: nit mean 103 / max 212, a ~2x lockstep
+    straggler waste).
+
+    ONE evaluation chain per round.  "Rare" per-lane events are
+    near-certain per-round across hundreds of lanes, so conditional or
+    separate launches for shrink/refill evaluations do not pay.  Instead
+    every round evaluates one (L, max(4, d+1)) batch: ACTIVE lanes fill
+    slots 0..3 with [reflection, expansion, outside contraction, inside
+    contraction] (the sequential algorithm consults at most two of them;
+    extras are masked out of billing exactly as scipy would never have
+    evaluated them), while PENDING lanes — just refilled, or whose last
+    round decided a shrink — fill slots 0..d with their unevaluated
+    vertices.  A shrinking lane therefore spends the next round pending
+    (its shrink re-evaluations were already billed at decision time, so
+    the pending round bills nothing; refilled lanes bill their d+1 init
+    evaluations at their pending round).  Per-restart trajectories,
+    billing and convergence semantics are restart-for-restart identical
+    to the two-chain layout this replaces; the single chain evaluates
+    max(4, d+1) points/lane/round instead of 4 + (d+1) (measured N=7
+    8192-pool, one v5e chip, with the pick_tile Pallas dispatch fix:
+    20.7k -> 23.0k restarts/s at 1024 lanes)."""
     R, dp1, d = simplex0_pool.shape
     L = int(min(lanes or _DEFAULT_LANES, R))
+    m = max(4, dp1)  # eval slots per lane (dp1 >= 6 for every real chain)
 
     def clip(x):
         return jnp.clip(x, lower, upper)
@@ -212,7 +226,8 @@ def _nm_while_batched(simplex0_pool, key, infid_b, lower, upper, maxfev,
            jnp.zeros(L, jnp.int32), key,         # nit
            jnp.arange(L, dtype=jnp.int32),       # idx
            jnp.ones(L, bool),                    # live
-           jnp.ones(L, bool),                    # fresh
+           jnp.ones(L, bool),                    # pending (fvals unknown)
+           jnp.ones(L, bool),                    # billinit (refill pend)
            jnp.int32(L),                         # next_i
            jnp.zeros((R + 1, dp1, d), simplex0_pool.dtype),   # out simplex
            jnp.zeros((R + 1, dp1), simplex0_pool.dtype),      # out fvals
@@ -230,24 +245,34 @@ def _nm_while_batched(simplex0_pool, key, infid_b, lower, upper, maxfev,
         return jnp.any(st[7])
 
     def body(st):
-        (simplex_in, fvals_in, nfev, ncall, nit, key, idx, live, fresh,
-         next_i, out_s, out_f, out_nfev, out_nit) = st
-        active = live & ~fresh
+        (simplex_in, fvals_in, nfev, ncall, nit, key, idx, live, pending,
+         billinit, next_i, out_s, out_f, out_nfev, out_nit) = st
+        active = live & ~pending
         order = jnp.argsort(fvals_in, axis=1)
         simplex = jnp.take_along_axis(simplex_in, order[:, :, None], axis=1)
         fvals = jnp.take_along_axis(fvals_in, order, axis=1)
         centroid = jnp.mean(simplex[:, :-1], axis=1)
         worst = simplex[:, -1]
 
-        key, kc = jax.random.split(key)
         xr = clip(centroid + _ALPHA * (centroid - worst))
         xe = clip(centroid + _GAMMA * (xr - centroid))
         xc_out = clip(centroid + _RHO * (xr - centroid))
         xc_in = clip(centroid - _RHO * (centroid - worst))
-        cands = jnp.stack([xr, xe, xc_out, xc_in], axis=1)  # (K, 4, d)
-        fs, cs = infid_b(cands.reshape(k * 4, d), kc)
-        fr, fe, fc_out, fc_in = [fs.reshape(k, 4)[:, i] for i in range(4)]
-        per_eval = cs.reshape(k, 4)[:, 0]  # adaptive in-band draw costs
+
+        # the round's single evaluation batch (see docstring)
+        cand_mat = jnp.concatenate(
+            [jnp.stack([xr, xe, xc_out, xc_in], axis=1),
+             jnp.broadcast_to(xr[:, None, :], (k, m - 4, d))], axis=1)
+        pend_mat = jnp.concatenate(
+            [simplex_in,
+             jnp.broadcast_to(simplex_in[:, :1], (k, m - dp1, d))], axis=1)
+        eval_mat = jnp.where(pending[:, None, None], pend_mat, cand_mat)
+        key, kc = jax.random.split(key)
+        fs, cs = infid_b(eval_mat.reshape(k * m, d), kc)
+        fs = fs.reshape(k, m)
+        cs = cs.reshape(k, m)
+        per_eval = cs[:, 0]  # adaptive in-band draw costs
+        fr, fe, fc_out, fc_in = fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3]
 
         f_best = fvals[:, 0]
         f_second_worst = fvals[:, -2]
@@ -275,40 +300,45 @@ def _nm_while_batched(simplex0_pool, key, infid_b, lower, upper, maxfev,
         simplex = simplex.at[:, -1].set(new_point)
         fvals = fvals.at[:, -1].set(new_f)
 
-        # shrink toward the best vertex; re-evaluate all vertices.  The
-        # same batch doubles as the FRESH-lane initial simplex evaluation
-        # (fresh lanes substitute their unevaluated simplex for the
-        # shrunk one)
+        # a shrinking lane moves its vertices NOW and re-evaluates them in
+        # the next round's batch (its fvals row goes stale for one round;
+        # nothing reads it before the pending evaluation refreshes it)
         shrunk = simplex[:, :1] + _SIGMA * (simplex - simplex[:, :1])
-        eval_mat = jnp.where(fresh[:, None, None], simplex_in, shrunk)
-        key, ks = jax.random.split(key)
-        f_shrunk, cs2 = infid_b(eval_mat.reshape(k * dp1, d), ks)
-        f_shrunk = f_shrunk.reshape(k, dp1)
-        init_bill = jnp.sum(cs2.reshape(k, dp1), axis=1).astype(jnp.int32)
         simplex = jnp.where(shrink[:, None, None], shrunk, simplex)
-        fvals = jnp.where(shrink[:, None], f_shrunk, fvals)
 
         # bill what the SEQUENTIAL algorithm would evaluate (scipy NM
         # accounting): reflect always; expand only when fr < f_best; one
-        # contraction when neither accepts; d+1 re-evals on shrink.
+        # contraction when neither accepts; d+1 re-evals on shrink (billed
+        # at decision time — the pending round that actually evaluates
+        # them bills nothing).  Refilled lanes bill their d+1 initial
+        # vertex evaluations at their pending round, at the evaluations'
+        # actual in-band cost.
         seq_evals = (1 + jnp.where(fr < f_best, 1, 0)
                      + jnp.where(~use_expand & ~use_reflect, 1, 0)
                      + jnp.where(shrink, dp1 - 1, 0)).astype(jnp.int32)
         bill = (per_eval * seq_evals).astype(jnp.int32)
+        init_bill = jnp.sum(cs[:, :dp1], axis=1).astype(jnp.int32)
+        init_pend = pending & billinit
         nfev = nfev + jnp.where(active, bill,
-                                jnp.where(fresh, init_bill, 0))
+                                jnp.where(init_pend, init_bill, 0))
         ncall = ncall + jnp.where(active, seq_evals,
-                                  jnp.where(fresh, dp1, 0))
+                                  jnp.where(init_pend, dp1, 0))
 
         simplex = jnp.where(active[:, None, None], simplex, simplex_in)
         fvals = jnp.where(active[:, None], fvals,
-                          jnp.where(fresh[:, None], f_shrunk, fvals_in))
+                          jnp.where(pending[:, None], fs[:, :dp1],
+                                    fvals_in))
         nit = nit + active.astype(jnp.int32)
+        pend_next = active & shrink
 
-        # per-restart termination on the UPDATED state (initialized fresh
-        # lanes included — a degenerate initial simplex terminates before
-        # stepping, matching the lockstep loop's pre-step active check)
-        finished = live & ~searching_of(simplex, fvals, ncall)
+        # per-restart termination on CURRENT values only: lanes whose
+        # round just went pending (shrink decided, vertices unevaluated)
+        # defer their check to the next round, where it sees exactly the
+        # state the eager two-chain layout checked this round.  Evaluated
+        # pending lanes (refills included) are checked — a degenerate
+        # initial simplex terminates before stepping, matching the
+        # lockstep loop's pre-step active check.
+        finished = live & ~pend_next & ~searching_of(simplex, fvals, ncall)
 
         tgt = jnp.where(finished, idx, R)
         out_s = out_s.at[tgt].set(simplex, mode="drop")
@@ -329,13 +359,14 @@ def _nm_while_batched(simplex0_pool, key, infid_b, lower, upper, maxfev,
         return (simplex, fvals, nfev, ncall, nit, key,
                 jnp.where(refill, slot_c, idx),
                 (live & ~finished) | refill,
+                pend_next | refill,
                 refill,
                 next_i + jnp.sum(finished, dtype=jnp.int32),
                 out_s, out_f, out_nfev, out_nit)
 
     st = jax.lax.while_loop(cond, body, st0)
-    simplex, fvals, nfev, nit = (st[10][:R], st[11][:R], st[12][:R],
-                                 st[13][:R])
+    simplex, fvals, nfev, nit = (st[11][:R], st[12][:R], st[13][:R],
+                                 st[14][:R])
     best_i = jnp.argmin(fvals, axis=1)
     best_x = jnp.take_along_axis(simplex, best_i[:, None, None], axis=1)[:, 0]
     best_f = jnp.take_along_axis(fvals, best_i[:, None], axis=1)[:, 0]
@@ -365,11 +396,17 @@ class NMPlus(ControlOptimizer):
     # fixed-width hardware batch (see _nm_while_batched / models/lbfgs.py)
     default_batch = 2048
 
+    # NM's per-round batch is (lanes, d+1)-wide (vs L-BFGS's (lanes,)),
+    # so its lane optimum sits higher: 1024 beats _DEFAULT_LANES=512 by
+    # ~6% at the 8192-pool N=7 dispatch (see _nm_while_batched)
+    default_lane_width = 1024
+
     def __init__(self, *args, maxfev: int = 300,
-                 lane_width: int = _DEFAULT_LANES, **kwargs):
+                 lane_width: int | None = None, **kwargs):
         super().__init__(*args, **kwargs)
         self.maxfev = maxfev  # per-restart budget (nmplus.py:212-215)
-        self.lane_width = lane_width
+        self.lane_width = (self.default_lane_width if lane_width is None
+                           else lane_width)
 
     def _build_batch_fn(self):
         use_fixed = self.use_fixed_ham

@@ -123,10 +123,10 @@ def make_exact_gradient_batch(spec: ObjectiveSpec):
     def f(xs):
         b = xs.shape[0]
         if use_pallas:
-            tile = min(1024, b)
-            if b % tile == 0:
-                from code_robchar_tpu.ops.pallas_jacobi import \
-                    infidelity_and_gradient_sym_pallas
+            from code_robchar_tpu.ops.pallas_jacobi import (
+                infidelity_and_gradient_sym_pallas, pick_tile)
+            tile = pick_tile(b)
+            if tile is not None:
                 sweeps = realform._sweeps_for(h0r.dtype, n)
                 return infidelity_and_gradient_sym_pallas(
                     h0r, xs, spec.in_spin, spec.out_spin, sweeps, tile)
@@ -144,10 +144,10 @@ def _make_fid_lanes(n: int, in_spin: int, out_spin: int):
     def fid_lanes(a, t):
         b = a.shape[-1]
         if use_pallas:
-            tile = min(1024, b)
-            if b % tile == 0:
-                from code_robchar_tpu.ops.pallas_jacobi import \
-                    fidelity_sym_pallas
+            from code_robchar_tpu.ops.pallas_jacobi import (
+                fidelity_sym_pallas, pick_tile)
+            tile = pick_tile(b)
+            if tile is not None:
                 return fidelity_sym_pallas(
                     a, t, in_spin, out_spin,
                     realform._sweeps_for(a.dtype, n), tile)

@@ -318,10 +318,10 @@ class PPO_en:
             batch tiles cleanly, XLA lanes otherwise."""
             b = ar.shape[-1]
             if use_pallas:
-                from code_robchar_tpu.ops.pallas_jacobi import \
-                    transfer_amp_sym_pallas
-                tile = min(1024, b)
-                if b % tile == 0:
+                from code_robchar_tpu.ops.pallas_jacobi import (
+                    pick_tile, transfer_amp_sym_pallas)
+                tile = pick_tile(b)
+                if tile is not None:
                     return transfer_amp_sym_pallas(
                         ar, t, cfg.in_spin, cfg.out_spin, eff_sweeps, tile)
             return realform.transfer_amp_sym_lanes(

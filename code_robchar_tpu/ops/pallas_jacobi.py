@@ -30,6 +30,26 @@ import jax.numpy as jnp
 DEFAULT_TILE = 1024
 
 
+def pick_tile(b: int, max_tile: int = DEFAULT_TILE) -> int | None:
+    """Largest lane tile <= ``max_tile`` that divides the batch ``b``.
+
+    The grid dispatch needs tile | b; Mosaic pads the lane (last)
+    dimension of each (n*n, tile) block up to 128 internally, so a
+    non-multiple-of-128 tile only costs that internal pad — whereas a
+    non-dividing tile cannot be dispatched at all.  Callers previously
+    required b % 1024 == 0 and silently fell back to the ~5x-slower XLA
+    lanes kernel otherwise (e.g. the NM shrink chain at 512 lanes,
+    b = 512*(d+1)).  Returns None only when every divisor of ``b`` is a
+    degenerate sliver (< 128 while b itself is larger) — e.g. prime b —
+    where per-block overhead would dominate; callers keep the XLA
+    fallback for that case.
+    """
+    t = min(max_tile, b)
+    while t > 0 and b % t:
+        t -= 1
+    return t if t >= min(b, 128) else None
+
+
 def _rotation_body(n, sweeps, ar, ai, vr, vi, eps):
     """Unrolled Jacobi schedule on VMEM refs.
 

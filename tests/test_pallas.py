@@ -114,3 +114,23 @@ def test_pallas_critic_matches_optax_interpret(rng):
         for wl, gl in zip(w, g):
             np.testing.assert_array_equal(np.asarray(gl), np.asarray(wl))
     assert np.all(np.asarray(got_opt[0].count) == iters)
+
+
+def test_pick_tile_covers_production_widths():
+    """pick_tile must return a dividing tile for every production batch
+    width (the old `b % 1024 == 0` gate silently dropped e.g. the NM
+    shrink chain at 512 lanes, b = 512*(d+1), onto the ~5x-slower XLA
+    lanes kernel) and decline degenerate sliver tiles."""
+    from code_robchar_tpu.ops.pallas_jacobi import pick_tile
+
+    for lanes in (128, 256, 512, 768, 1024):
+        for m in range(1, 17):  # candidates-per-lane across N=3..15
+            b = lanes * m
+            t = pick_tile(b)
+            assert t is not None and b % t == 0 and t <= 1024
+            assert t >= 128
+    assert pick_tile(1024) == 1024
+    assert pick_tile(7680) == 960          # 512 lanes x (d+1)=15
+    assert pick_tile(96) == 96             # small batches run whole
+    assert pick_tile(7681) is None         # prime: keep the XLA fallback
+    assert pick_tile(2176) == 544          # 17*128: no 128-mult divisor
