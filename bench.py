@@ -175,7 +175,7 @@ def main():
     # ---- optimizer-zoo restart throughput (batched L-BFGS) -------------
     # k_rest matches the production regime: a paper transition's
     # 1e6-fcall noiseless budget pays for ~5k restarts, dispatched as one
-    # lane-recycled pool (512-lane hardware batch fed from the pool; see
+    # lane-recycled pool (1024-lane hardware batch fed from the pool; see
     # models/lbfgs.py) (x n_dev on a multi-chip host, restart axis
     # sharded)
     from code_robchar_tpu.models import LBFGS

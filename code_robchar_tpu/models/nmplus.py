@@ -396,9 +396,8 @@ class NMPlus(ControlOptimizer):
     # fixed-width hardware batch (see _nm_while_batched / models/lbfgs.py)
     default_batch = 2048
 
-    # NM's per-round batch is (lanes, d+1)-wide (vs L-BFGS's (lanes,)),
-    # so its lane optimum sits higher: 1024 beats _DEFAULT_LANES=512 by
-    # ~6% at the 8192-pool N=7 dispatch (see _nm_while_batched)
+    # measured lane optimum at the 8192-pool N=7 dispatch: 1024 beats
+    # 512 by ~6% and 2048 by ~21% (see _nm_while_batched docstring)
     default_lane_width = 1024
 
     def __init__(self, *args, maxfev: int = 300,
