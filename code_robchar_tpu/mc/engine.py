@@ -92,12 +92,8 @@ def _chunk_kernel_lanes(h0r, xs, scales, keys, in_spin, out_spin,
 
     t = jnp.abs(xs[:, n])
     if use_pallas:
-        from code_robchar_tpu.ops.pallas_jacobi import (fidelity_herm_pallas,
-                                                        pick_tile)
-        tile = pick_tile(b)
-        if tile is not None:
-            return fidelity_herm_pallas(ar, ai, t, in_spin, out_spin,
-                                        tile=tile)
+        from code_robchar_tpu.ops.pallas_jacobi import fidelity_herm_pallas
+        return fidelity_herm_pallas(ar, ai, t, in_spin, out_spin)
     return realform.fidelity_herm_lanes(ar, ai, t, in_spin, out_spin)
 
 

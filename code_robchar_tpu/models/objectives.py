@@ -121,15 +121,12 @@ def make_exact_gradient_batch(spec: ObjectiveSpec):
     use_pallas = jax.default_backend() not in ("cpu",)
 
     def f(xs):
-        b = xs.shape[0]
         if use_pallas:
-            from code_robchar_tpu.ops.pallas_jacobi import (
-                infidelity_and_gradient_sym_pallas, pick_tile)
-            tile = pick_tile(b)
-            if tile is not None:
-                sweeps = realform._sweeps_for(h0r.dtype, n)
-                return infidelity_and_gradient_sym_pallas(
-                    h0r, xs, spec.in_spin, spec.out_spin, sweeps, tile)
+            from code_robchar_tpu.ops.pallas_jacobi import \
+                infidelity_and_gradient_sym_pallas
+            sweeps = realform._sweeps_for(h0r.dtype, n)
+            return infidelity_and_gradient_sym_pallas(
+                h0r, xs, spec.in_spin, spec.out_spin, sweeps)
         return realform.infidelity_and_gradient_sym_lanes(
             h0r, xs, spec.in_spin, spec.out_spin)
     return f
@@ -142,15 +139,12 @@ def _make_fid_lanes(n: int, in_spin: int, out_spin: int):
     use_pallas = jax.default_backend() not in ("cpu",)
 
     def fid_lanes(a, t):
-        b = a.shape[-1]
         if use_pallas:
-            from code_robchar_tpu.ops.pallas_jacobi import (
-                fidelity_sym_pallas, pick_tile)
-            tile = pick_tile(b)
-            if tile is not None:
-                return fidelity_sym_pallas(
-                    a, t, in_spin, out_spin,
-                    realform._sweeps_for(a.dtype, n), tile)
+            from code_robchar_tpu.ops.pallas_jacobi import \
+                fidelity_sym_pallas
+            return fidelity_sym_pallas(
+                a, t, in_spin, out_spin,
+                realform._sweeps_for(a.dtype, n))
         return realform.fidelity_sym_lanes(a, t, in_spin, out_spin)
     return fid_lanes
 

@@ -316,14 +316,11 @@ class PPO_en:
         def sym_amp(ar, t):
             """(n, n, B), (B,) -> (phr, phi); Pallas on TPU when the
             batch tiles cleanly, XLA lanes otherwise."""
-            b = ar.shape[-1]
             if use_pallas:
-                from code_robchar_tpu.ops.pallas_jacobi import (
-                    pick_tile, transfer_amp_sym_pallas)
-                tile = pick_tile(b)
-                if tile is not None:
-                    return transfer_amp_sym_pallas(
-                        ar, t, cfg.in_spin, cfg.out_spin, eff_sweeps, tile)
+                from code_robchar_tpu.ops.pallas_jacobi import \
+                    transfer_amp_sym_pallas
+                return transfer_amp_sym_pallas(
+                    ar, t, cfg.in_spin, cfg.out_spin, eff_sweeps)
             return realform.transfer_amp_sym_lanes(
                 ar, t, cfg.in_spin, cfg.out_spin, eff_sweeps)
 

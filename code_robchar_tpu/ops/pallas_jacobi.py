@@ -30,24 +30,34 @@ import jax.numpy as jnp
 DEFAULT_TILE = 1024
 
 
-def pick_tile(b: int, max_tile: int = DEFAULT_TILE) -> int | None:
-    """Largest lane tile <= ``max_tile`` that divides the batch ``b``.
+def pick_tile(b: int, max_tile: int = DEFAULT_TILE) -> tuple[int, int]:
+    """Legal Mosaic lane tiling for a batch of ``b``: (tile, padded_b).
 
-    The grid dispatch needs tile | b; Mosaic pads the lane (last)
-    dimension of each (n*n, tile) block up to 128 internally, so a
-    non-multiple-of-128 tile only costs that internal pad — whereas a
-    non-dividing tile cannot be dispatched at all.  Callers previously
-    required b % 1024 == 0 and silently fell back to the ~5x-slower XLA
-    lanes kernel otherwise (e.g. the NM shrink chain at 512 lanes,
-    b = 512*(d+1)).  Returns None only when every divisor of ``b`` is a
-    degenerate sliver (< 128 while b itself is larger) — e.g. prime b —
-    where per-block overhead would dominate; callers keep the XLA
-    fallback for that case.
+    Mosaic requires each block's lane (last) dimension be a multiple of
+    128 OR equal the full array dimension.  The dispatch wrappers below
+    previously required b % 1024 == 0 and silently fell back to the
+    ~5x-slower XLA lanes kernel otherwise (e.g. the NM shrink chain at
+    512 lanes, b = 512*(d+1)); production batch widths can also be
+    data-dependent with no legal dividing tile at all (observed
+    b = 5831 from a budget-scheduled restart count).  Policy:
+
+    - b <= max_tile: one whole-array block (always legal, no padding);
+    - else the largest multiple-of-128 tile <= max_tile dividing b;
+    - else pad b up to the next multiple of 128 and take the largest
+      multiple-of-128 tile <= max_tile dividing that (128 always does).
+
+    Callers pad operands up to ``padded_b`` lanes (edge-replicated) and
+    slice results back to ``b``; worst-case padding is 127 lanes.
     """
-    t = min(max_tile, b)
-    while t > 0 and b % t:
-        t -= 1
-    return t if t >= min(b, 128) else None
+    if b <= max_tile:
+        return b, b
+    for bp in (b, -(-b // 128) * 128):
+        t = (max_tile // 128) * 128
+        while t >= 128:
+            if bp % t == 0:
+                return t, bp
+            t -= 128
+    raise AssertionError("unreachable: 128 divides the padded batch")
 
 
 def _rotation_body(n, sweeps, ar, ai, vr, vi, eps):
@@ -487,44 +497,58 @@ _sym_grad_cache = lru_cache(maxsize=64)(make_sym_grad_kernel)
 
 def infidelity_and_gradient_sym_pallas(h0, xs, in_spin: int, out_spin: int,
                                        sweeps: int | None = None,
-                                       tile: int = DEFAULT_TILE,
+                                       tile: int | None = None,
                                        interpret: bool = False):
     """Batched exact (infidelity, gradient): h0 (n, n), xs (B, n+1) ->
-    (err (B,), grad (B, n+1)) via the fused Pallas kernel.  B must be a
-    multiple of ``tile``."""
+    (err (B,), grad (B, n+1)) via the fused Pallas kernel.  With
+    tile=None the batch is tiled (and edge-padded when needed) by
+    pick_tile; an explicit ``tile`` must divide B."""
     n = h0.shape[-1]
     b = xs.shape[0]
+    if tile is None:
+        tile, bp = pick_tile(b)
+        if bp != b:
+            xs = jnp.concatenate(
+                [xs, jnp.broadcast_to(xs[-1:], (bp - b, xs.shape[1]))])
+    bp = xs.shape[0]
     dt = h0.dtype
-    a = jnp.broadcast_to(h0[:, :, None], (n, n, b)).astype(dt)
+    a = jnp.broadcast_to(h0[:, :, None], (n, n, bp)).astype(dt)
     for i in range(n):
         a = a.at[i, i].add(xs[:, i].astype(dt))
     t = jnp.abs(xs[:, n]).astype(dt)
     if sweeps is None:
         sweeps = _sweeps_for(dt, n)
     run = _sym_grad_cache(n, in_spin, out_spin, sweeps, tile, interpret)
-    err, grad = run(a.reshape(n * n, b), t)
-    return err[0], grad.T
+    err, grad = run(a.reshape(n * n, bp), t)
+    return err[0, :b], grad.T[:b]
 
 
 def transfer_amp_sym_pallas(a: jnp.ndarray, t: jnp.ndarray, in_spin: int,
                             out_spin: int, sweeps: int | None = None,
-                            tile: int = DEFAULT_TILE,
+                            tile: int | None = None,
                             interpret: bool = False):
     """Lanes-layout REAL-symmetric transfer amplitude via the Pallas
-    kernel: a (n, n, B), t (B,) -> (phr, phi) each (B,).  B must be a
-    multiple of ``tile``."""
+    kernel: a (n, n, B), t (B,) -> (phr, phi) each (B,).  With tile=None
+    the batch is tiled (and edge-padded when needed) by pick_tile; an
+    explicit ``tile`` must divide B."""
     n = a.shape[0]
     b = a.shape[-1]
+    if tile is None:
+        tile, bp = pick_tile(b)
+        if bp != b:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[..., -1:], (n, n, bp - b))], axis=-1)
+            t = jnp.concatenate([t, jnp.broadcast_to(t[-1:], (bp - b,))])
     if sweeps is None:
         sweeps = _sweeps_for(a.dtype, n)
     run = _sym_kernel_cache(n, in_spin, out_spin, sweeps, tile, interpret)
-    amp = run(a.reshape(n * n, b), t)
-    return amp[0], amp[1]
+    amp = run(a.reshape(n * n, a.shape[-1]), t)
+    return amp[0, :b], amp[1, :b]
 
 
 def fidelity_sym_pallas(a: jnp.ndarray, t: jnp.ndarray, in_spin: int,
                         out_spin: int, sweeps: int | None = None,
-                        tile: int = DEFAULT_TILE,
+                        tile: int | None = None,
                         interpret: bool = False) -> jnp.ndarray:
     phr, phi = transfer_amp_sym_pallas(a, t, in_spin, out_spin, sweeps,
                                        tile, interpret)
@@ -534,17 +558,28 @@ def fidelity_sym_pallas(a: jnp.ndarray, t: jnp.ndarray, in_spin: int,
 def fidelity_herm_pallas(ar: jnp.ndarray, ai: jnp.ndarray, t: jnp.ndarray,
                          in_spin: int, out_spin: int,
                          sweeps: int | None = None,
-                         tile: int = DEFAULT_TILE,
+                         tile: int | None = None,
                          interpret: bool = False) -> jnp.ndarray:
     """Lanes-layout fidelity via the Pallas kernel.
 
-    ar/ai: (n, n, B) split Hamiltonians, t: (B,).  B must be a multiple of
-    ``tile`` (the MC engine's chunking guarantees this).
+    ar/ai: (n, n, B) split Hamiltonians, t: (B,).  With tile=None the
+    batch is tiled (and edge-padded when needed) by pick_tile; an
+    explicit ``tile`` must divide B.
     """
     n = ar.shape[0]
     b = ar.shape[-1]
+    if tile is None:
+        tile, bp = pick_tile(b)
+        if bp != b:
+            pad = (n, n, bp - b)
+            ar = jnp.concatenate(
+                [ar, jnp.broadcast_to(ar[..., -1:], pad)], axis=-1)
+            ai = jnp.concatenate(
+                [ai, jnp.broadcast_to(ai[..., -1:], pad)], axis=-1)
+            t = jnp.concatenate([t, jnp.broadcast_to(t[-1:], (bp - b,))])
     if sweeps is None:
         sweeps = _sweeps_for(ar.dtype, n)
     run = _kernel_cache(n, in_spin, out_spin, sweeps, tile, interpret)
-    fid = run(ar.reshape(n * n, b), ai.reshape(n * n, b), t)
-    return fid.reshape(b)
+    bp = ar.shape[-1]
+    fid = run(ar.reshape(n * n, bp), ai.reshape(n * n, bp), t)
+    return fid.reshape(bp)[:b]

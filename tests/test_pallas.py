@@ -116,21 +116,43 @@ def test_pallas_critic_matches_optax_interpret(rng):
     assert np.all(np.asarray(got_opt[0].count) == iters)
 
 
-def test_pick_tile_covers_production_widths():
-    """pick_tile must return a dividing tile for every production batch
-    width (the old `b % 1024 == 0` gate silently dropped e.g. the NM
-    shrink chain at 512 lanes, b = 512*(d+1), onto the ~5x-slower XLA
-    lanes kernel) and decline degenerate sliver tiles."""
+def test_pick_tile_legal_for_any_width():
+    """pick_tile must produce a Mosaic-legal tiling for EVERY batch width
+    (the old `b % 1024 == 0` gate silently dropped e.g. the NM shrink
+    chain at 512 lanes, b = 512*(d+1), onto the ~5x-slower XLA lanes
+    kernel; budget-scheduled restart counts produce arbitrary widths —
+    b = 5831 was observed crashing the first dividing-tile-only fix).
+    Legal means: tile == padded_b (one whole-array block) or tile a
+    multiple of 128 dividing padded_b; padding < 128 lanes."""
     from code_robchar_tpu.ops.pallas_jacobi import pick_tile
 
-    for lanes in (128, 256, 512, 768, 1024):
-        for m in range(1, 17):  # candidates-per-lane across N=3..15
-            b = lanes * m
-            t = pick_tile(b)
-            assert t is not None and b % t == 0 and t <= 1024
-            assert t >= 128
-    assert pick_tile(1024) == 1024
-    assert pick_tile(7680) == 960          # 512 lanes x (d+1)=15
-    assert pick_tile(96) == 96             # small batches run whole
-    assert pick_tile(7681) is None         # prime: keep the XLA fallback
-    assert pick_tile(2176) == 544          # 17*128: no 128-mult divisor
+    for b in list(range(1, 40)) + [96, 512, 1024, 1025, 2048, 2176,
+                                   4608, 5831, 7680, 7681, 15360, 99999]:
+        t, bp = pick_tile(b)
+        assert b <= bp < b + 128
+        assert bp % t == 0 and t <= 1024
+        assert t == bp or t % 128 == 0, (b, t, bp)
+    assert pick_tile(1024) == (1024, 1024)
+    assert pick_tile(96) == (96, 96)          # small batches run whole
+    assert pick_tile(7680) == (768, 7680)     # 512 lanes x (d+1)=15
+    assert pick_tile(15360) == (1024, 15360)  # 1024 lanes x 15
+    assert pick_tile(5831) == (256, 5888)     # no dividing tile: pad
+    assert pick_tile(4608) == (768, 4608)
+
+
+def test_pallas_auto_tile_padded_width_interpret(rng):
+    """tile=None must handle a batch with NO legal dividing tile
+    (b = 1153 > 1024, odd) by edge-padding to the pick_tile width and
+    slicing back — the path a budget-scheduled restart count hits in
+    production (observed b = 5831 crashing Mosaic lowering when an
+    unpadded non-128-multiple tile was dispatched)."""
+    n, b = 4, 1153
+    a = rng.normal(size=(b, n, n)).astype(np.float32)
+    sym = (a + np.transpose(a, (0, 2, 1))) / 2
+    ar = jnp.asarray(np.moveaxis(sym, 0, -1).copy())
+    ai = jnp.zeros_like(ar)
+    t = jnp.asarray(rng.uniform(1, 5, b).astype(np.float32))
+    ref = realform.fidelity_herm_lanes(ar, ai, t, 0, 2, sweeps=6)
+    out = fidelity_herm_pallas(ar, ai, t, 0, 2, sweeps=6, interpret=True)
+    assert out.shape == (b,)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
