@@ -208,6 +208,27 @@ def main():
         zoo_times.append(time.perf_counter() - t0)
     zoo_rate = k_rest / float(np.median(zoo_times))
 
+    # Nelder-Mead on the same lane-recycled pool (one-chain rounds,
+    # models/nmplus.py) — the second-fastest family and the one the
+    # pick_tile dispatch fix moved 10x
+    from code_robchar_tpu.models import NMPlus
+    opt_nm = NMPlus(n, 0, 6, testing=True, fid_threshold=2.0,
+                    repeats=10**9, run_until_told_to_stop=True,
+                    run_until_completion_its=10**12,
+                    landscape_exploration=True, save_topc=64,
+                    mesh=mesh if n_dev > 1 else None)
+    opt, dispatch = opt_nm, (opt_nm._run_batch_sharded if n_dev > 1
+                             else opt_nm._run_batch)
+    res = dispatch(*zoo_inputs(15))
+    float(jnp.sum(res.fid))
+    nm_times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        res = dispatch(*zoo_inputs(16 + i))
+        float(jnp.sum(res.fid))
+        nm_times.append(time.perf_counter() - t0)
+    nm_rate = k_rest / float(np.median(nm_times))
+
     print(json.dumps({
         "metric": "MC robustness characterisation, N=7, 10k controllers "
                   "x 11 noise levels x 100 bootreps (Hamiltonians/sec, "
@@ -222,6 +243,7 @@ def main():
         "ppo_env_steps_per_s": round(ppo_rate, 1),
         "ppo_agents": agents,
         "zoo_lbfgs_restarts_per_s": round(zoo_rate, 2),
+        "zoo_nm_restarts_per_s": round(nm_rate, 2),
         "device": str(jax.devices()[0]),
         "n_devices": n_dev,
     }))

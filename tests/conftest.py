@@ -100,6 +100,7 @@ _SLOW_TESTS = {
     "tests/test_models.py::test_lbfgs_ham_noisy_runs",
     "tests/test_experiment.py::test_singlerun_ccollector_le_schema_and_mc_interop",
     "tests/test_pallas.py::test_pallas_matches_lanes_interpret",
+    "tests/test_pallas.py::test_pallas_auto_tile_padded_width_interpret",
     "tests/test_realform.py::test_jacobi_sym_matches_lapack",
     "tests/test_shims.py::test_ppo_wass_value_targets_smoke",
     "tests/test_reference_interop.py::test_shipped_mc_tensor_numeric_parity[N6_0-5]",
