@@ -134,8 +134,9 @@ def make_exact_gradient_batch(spec: ObjectiveSpec):
 
 def _make_fid_lanes(n: int, in_spin: int, out_spin: int):
     """(a (n, n, B), t (B,)) -> fids (B,): the shared lanes fidelity
-    kernel — one fused Pallas launch on TPU backends when the batch tiles
-    cleanly, the XLA lanes kernel otherwise."""
+    kernel — one fused Pallas launch on TPU backends (any width:
+    pick_tile pads to a Mosaic-legal tile), the XLA lanes kernel on
+    CPU."""
     use_pallas = jax.default_backend() not in ("cpu",)
 
     def fid_lanes(a, t):

@@ -314,8 +314,8 @@ class PPO_en:
                       else realform._sweeps_for(dt, n))
 
         def sym_amp(ar, t):
-            """(n, n, B), (B,) -> (phr, phi); Pallas on TPU when the
-            batch tiles cleanly, XLA lanes otherwise."""
+            """(n, n, B), (B,) -> (phr, phi); Pallas on TPU (any width —
+            pick_tile pads to a legal tile), XLA lanes on CPU."""
             if use_pallas:
                 from code_robchar_tpu.ops.pallas_jacobi import \
                     transfer_amp_sym_pallas
