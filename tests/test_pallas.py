@@ -156,3 +156,46 @@ def test_pallas_auto_tile_padded_width_interpret(rng):
     out = fidelity_herm_pallas(ar, ai, t, 0, 2, sweeps=6, interpret=True)
     assert out.shape == (b,)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_objectives_dispatch_pallas_for_odd_widths(monkeypatch, rng):
+    """The objective builders must send EVERY batch width down the Pallas
+    path on TPU backends — the b % 1024 == 0 gate this replaces silently
+    dropped odd widths onto the ~5x-slower XLA lanes kernel, invisible to
+    all CPU tests (use_pallas is backend-gated).  Spy on the Pallas entry
+    points with the backend decision forced to TPU."""
+    import code_robchar_tpu.models.objectives as obj
+    from code_robchar_tpu.ops import chain
+    from code_robchar_tpu.ops import pallas_jacobi as pj
+
+    monkeypatch.setattr(obj.jax, "default_backend", lambda: "tpu")
+    calls = []
+    monkeypatch.setattr(
+        pj, "infidelity_and_gradient_sym_pallas",
+        lambda h0, xs, i, o, sweeps=None, tile=None, interpret=False:
+            calls.append(("grad", xs.shape[0])) or
+            realform.infidelity_and_gradient_sym_lanes(h0, xs, i, o))
+    monkeypatch.setattr(
+        pj, "fidelity_sym_pallas",
+        lambda a, t, i, o, sweeps=None, tile=None, interpret=False:
+            calls.append(("fid", a.shape[-1])) or
+            realform.fidelity_sym_lanes(a, t, i, o))
+
+    n = 4
+    h0 = jnp.real(chain.xx_hamiltonian_real(n, dtype=jnp.float32))
+    spec = obj.ObjectiveSpec(h0=h0, in_spin=0, out_spin=2, noise=0.0,
+                             fid_noisy=False, ham_noisy=False, draws=0,
+                             adaptive=False, adp_tol=0.0,
+                             fixed_hams=None, mul_fac=1)
+    for b in (7, 833, 1153):
+        xs = jnp.asarray(rng.uniform(-5, 5, (b, n + 1)).astype(np.float32))
+        e, g = obj.make_exact_gradient_batch(spec)(xs)
+        assert e.shape == (b,) and g.shape == (b, n + 1)
+        a = jnp.broadcast_to(h0[:, :, None], (n, n, b))
+        t = jnp.asarray(rng.uniform(1, 5, b).astype(np.float32))
+        f = obj._make_fid_lanes(n, 0, 2)(a, t)
+        assert f.shape == (b,)
+    assert [c for c in calls if c[0] == "grad"] == [
+        ("grad", 7), ("grad", 833), ("grad", 1153)]
+    assert [c for c in calls if c[0] == "fid"] == [
+        ("fid", 7), ("fid", 833), ("fid", 1153)]
