@@ -154,3 +154,47 @@ def test_ppo_fused_rollout_timeout_and_noiseless_paths():
                                   np.asarray(st_a.ep_len))
     # with max_ep_len=5 < 12 steps, timeouts MUST have fired
     assert np.asarray(st_a.ep_len).max() < 12
+
+
+def test_ppo_fused_fallback_is_signalled(capsys):
+    """VERDICT r3 weak #6: when the fused rollout is auto-disabled by
+    regime or tiling, one verbose line must name the reason; a clean
+    tiled noiseless config must stay silent."""
+    # shot-noise regime: fused path off, reason named
+    ppo = PPO_en(3, 0, 2, testing=True, fid_threshold=0.0, verbose=True,
+                 run_until_told_to_stop=True, run_until_completion_its=10,
+                 landscape_exploration=True, fid_noisy=True,
+                 fused_rollout=True, num_agents=128)
+    ppo._signal_fused_fallbacks()
+    out = capsys.readouterr().out
+    assert "fused rollout disabled" in out and "fid_noisy" in out
+
+    # odd agent count: tiling reason named
+    ppo2 = PPO_en(3, 0, 2, testing=True, fid_threshold=0.0, verbose=True,
+                  run_until_told_to_stop=True, run_until_completion_its=10,
+                  landscape_exploration=True, fused_rollout=True,
+                  num_agents=100)
+    ppo2._signal_fused_fallbacks()
+    out2 = capsys.readouterr().out
+    assert "fused rollout disabled" in out2 and "128-lane" in out2
+
+    # fixed-ham reason named through the real build path (_build_epoch
+    # calls the signal hook before the program-cache lookup)
+    ppo3 = PPO_en(3, 0, 2, testing=True, fid_threshold=0.0, verbose=True,
+                  run_until_told_to_stop=True, run_until_completion_its=10,
+                  landscape_exploration=True, fused_rollout=True,
+                  use_fixed_ham=True, opt_train_size=3, num_agents=128)
+    ppo3._build_epoch(steps_per_epoch=4, clip_ratio=0.2, pi_lr=3e-3,
+                      vf_lr=1e-3, max_ep_len=5, train_pi_iters=0,
+                      train_v_iters=0, target_kl=0.01)
+    out3 = capsys.readouterr().out
+    assert "fused rollout disabled" in out3 and "fixed-ham" in out3
+
+    # clean config (tiled, noiseless): no fallback line
+    ppo4 = PPO_en(3, 0, 2, testing=True, fid_threshold=0.0, verbose=True,
+                  run_until_told_to_stop=True, run_until_completion_its=10,
+                  landscape_exploration=True, fused_rollout=True,
+                  num_agents=128)
+    ppo4._signal_fused_fallbacks()
+    assert "fused rollout disabled" not in capsys.readouterr().out
+    assert ppo4.fused_rollout_fallback_reasons() == []
