@@ -29,22 +29,29 @@ import jax.numpy as jnp
 # shared across optimizer instances by models/base._PROGRAM_CACHE.
 #
 # Opt out with ROBCHAR_NO_COMPILATION_CACHE=1; relocate with
-# ROBCHAR_COMPILATION_CACHE=<dir>.
+# ROBCHAR_COMPILATION_CACHE=<dir>.  A host application that already
+# configured jax_compilation_cache_dir keeps its setting — importing this
+# package must not clobber it (the explicit ROBCHAR_COMPILATION_CACHE
+# override still wins, since setting it states intent).
 # ---------------------------------------------------------------------------
 if not os.environ.get("ROBCHAR_NO_COMPILATION_CACHE"):
-    _cache_dir = os.environ.get(
-        "ROBCHAR_COMPILATION_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "robchar",
-                     "jax_cache"))
-    try:
-        os.makedirs(_cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # read-only filesystem etc. — cache is best-effort
-        pass
+    _cache_dir = os.environ.get("ROBCHAR_COMPILATION_CACHE")
+    if _cache_dir or not jax.config.jax_compilation_cache_dir:
+        _cache_dir = _cache_dir or os.path.join(
+            os.path.expanduser("~"), ".cache", "robchar", "jax_cache")
+        try:
+            os.makedirs(_cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # read-only filesystem — cache is best-effort
+            pass
 
+
+import threading as _threading
 
 _handshake_started = False
+_handshake_lock = _threading.Lock()
 
 
 def absorb_relay_handshake() -> None:
@@ -60,9 +67,15 @@ def absorb_relay_handshake() -> None:
     it serially.  No-op after the first call and on backends without the
     quirk (the fetch just completes fast)."""
     global _handshake_started
-    if _handshake_started:
+    if _handshake_started:      # fast path, no lock once started
         return
-    _handshake_started = True
+    with _handshake_lock:
+        # serialise concurrent FIRST calls (e.g. two entry points
+        # warming up from parallel threads): exactly one wins the
+        # check-and-set and spawns the warm-up thread
+        if _handshake_started:
+            return
+        _handshake_started = True
 
     def _go():
         try:
