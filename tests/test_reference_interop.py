@@ -224,15 +224,21 @@ def _shipped_snob_rims(nspin, outspin, sigma):
 
 def test_snob_calibration_ks_guardrail():
     """Calibration transition N=5 0->2: the RIM distribution of a
-    budget-matched SNOB collection must stay within KS 0.15 of the
-    shipped SNOBFIT set (full-budget value 0.066-0.081; the
-    pre-calibration surrogate sat at 0.45)."""
+    budget-matched SNOB collection must stay within KS 0.13 of the
+    shipped SNOBFIT set (observed run-to-run band 0.066-0.102 across
+    seeds/rounds incl. the round-3 structure study; the
+    pre-calibration surrogate sat at 0.45).  The gate is on the KS
+    STATISTIC, not the p-value: at n=300 vs n=1000 even the accepted
+    band rejects at alpha=0.05 (p ~ 0.03) — the contract is 'as close
+    as the calibrated stand-in gets', not 'same distribution'
+    (VERDICT r3 next #8); p is recorded in the message for the log."""
     import scipy.stats
     ours = _snob_rim_sample(5, 2, 0.05)
     ship = _shipped_snob_rims(5, 2, 0.05)
     stat, p = scipy.stats.ks_2samp(ours, ship)
-    assert stat < 0.15, (f"snob calibration drifted: KS {stat:.3f} "
-                         f"(p={p:.2e}) vs shipped N=5 0->2")
+    assert stat < 0.13, (f"snob calibration drifted: KS {stat:.3f} "
+                         f"(p={p:.2e}) vs shipped N=5 0->2 "
+                         f"(accepted band 0.066-0.102 + margin)")
 
 
 @pytest.mark.xfail(strict=False,
