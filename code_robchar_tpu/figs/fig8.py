@@ -12,6 +12,12 @@ TPU-native difference: the reference evaluates ~4.4e6 sequential expms per
 (noise x controller x bootrep) lattice is one jitted MC sweep, and the
 "RIM" here is mean infidelity 1 - mean(F) per the reference's get_rims
 (gen_fig_8:121-132) — mirrored exactly, not the sorted-CDF RIM.
+
+Snob caveat: scaling curves computed from stores produced by the snob
+surrogate (models/snob.py) run below the published SNOBFIT curves on
+hard transitions (surrogate is measurably stronger there —
+SNOBPARITY.md); use models/snob_skquant.py (skquant required) to
+regenerate exact-SNOBFIT stores when publication fidelity matters.
 """
 
 from __future__ import annotations
@@ -106,6 +112,25 @@ class NStochOpt(MCDataSim):
                 # to label its rows (fall back to the index axis)
                 if new_keys is not None and len(new_keys) != len(arims):
                     new_keys = None
+                elif new_keys is not None and not os.path.exists(keyfile):
+                    # pre-sidecar pickle whose row count matches the
+                    # current dict: the keys are ASSUMED, not verified —
+                    # if the store was regenerated with different
+                    # checkpoint spacing at equal count, the x-axis is
+                    # mislabeled.  Warn so it is at least detectable,
+                    # and write the sidecar so the assumption is pinned
+                    # (and future spacing changes invalidate the cache).
+                    import json
+                    import warnings
+                    warnings.warn(
+                        f"{save}: pickle predates the .fckeys.json "
+                        "sidecar; labeling its rows with the current "
+                        "controller dict's fcall keys on row-count "
+                        "match alone. Delete the pickle to recompute "
+                        "if checkpoint spacing may have changed.",
+                        stacklevel=2)
+                    with open(keyfile, "w") as f:
+                        json.dump([str(k) for k in new_keys], f)
                 return arims, new_keys
         if new_keys is None:
             raise KeyError(f"algo {algo!r} not in controller dict")

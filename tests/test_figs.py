@@ -121,6 +121,28 @@ def test_fig8_scaling(tmp_path):
     assert keys3 == ["500000", "1000000"]
     assert not np.allclose(arims3, arims)   # recomputed, not stale rows
 
+    # ADVICE r3 #5: a pre-sidecar pickle whose row count matches the
+    # current dict is relabeled on count alone — that assumption must
+    # WARN and pin itself by writing the sidecar
+    import warnings
+    save = (y.get_controller_name + "_arims_ppo0.01.pickle")
+    os.remove(save + ".fckeys.json")
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        arims4, keys4 = y.get_arims("ppo", nlvl="0.01", marker="",
+                                    cdict={"ppo": {"0.01": ckpt2}})
+    assert any("predates the .fckeys.json" in str(w.message)
+               for w in wlist)
+    np.testing.assert_array_equal(arims4, arims3)
+    assert os.path.exists(save + ".fckeys.json")   # assumption pinned
+    # and a second load is silent (sidecar now present and matching)
+    with warnings.catch_warnings(record=True) as wlist2:
+        warnings.simplefilter("always")
+        y.get_arims("ppo", nlvl="0.01", marker="",
+                    cdict={"ppo": {"0.01": ckpt2}})
+    assert not any("predates the .fckeys.json" in str(w.message)
+                   for w in wlist2)
+
 
 def test_fig1_cdf_area(tmp_path):
     rng = np.random.default_rng(1)
