@@ -4,6 +4,15 @@ Rebuild of generate_arim_all_fig5.py's ARIM_generator: the algorithm-level
 RIM is the 1-Wasserstein distance of the *top-k controllers' RIM sample*
 from delta(x-0), per simulation noise level, with nonparametric-bootstrap
 error bands; panels arranged over the paper's (N, out) transitions.
+
+Snob caveat: when the input stores were produced by THIS framework's
+budget-matched snob surrogate (models/snob.py) rather than real SNOBFIT,
+the snob ARIM curves sit measurably BELOW the published ones on hard
+transitions (e.g. N=6 0->5) — the surrogate finds more-robust
+controllers there (conservative direction for users; quantified in
+SNOBPARITY.md).  For publication-faithful snob curves, regenerate the
+store with the exact adapter models/snob_skquant.py in an environment
+that has skquant.  Shipped reference stores are unaffected.
 """
 
 from __future__ import annotations

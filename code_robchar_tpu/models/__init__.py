@@ -9,6 +9,10 @@ from code_robchar_tpu.models.adam import Adam
 from code_robchar_tpu.models.nmplus import NMPlus
 from code_robchar_tpu.models.snob import SNOB
 from code_robchar_tpu.models.ppo import PPO_en
+# exact-SNOBFIT adapter: import is safe without skquant (the dependency
+# check happens at construction); NOT in the registry — the reference's
+# model database has exactly five names (noise_analysis.py:126-131)
+from code_robchar_tpu.models.snob_skquant import SNOBSkquant
 
 MODEL_REGISTRY = {
     "ppo": PPO_en,
@@ -18,4 +22,5 @@ MODEL_REGISTRY = {
     "nmplus": NMPlus,
 }
 
-__all__ = ["LBFGS", "Adam", "NMPlus", "SNOB", "PPO_en", "MODEL_REGISTRY"]
+__all__ = ["LBFGS", "Adam", "NMPlus", "SNOB", "PPO_en", "SNOBSkquant",
+           "MODEL_REGISTRY"]

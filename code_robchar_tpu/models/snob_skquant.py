@@ -1,0 +1,140 @@
+"""Exact-SNOBFIT adapter (optional; needs the reference's skquant stack).
+
+The production ``models.snob.SNOB`` is a budget-matched surrogate
+(sanctioned by SURVEY.md §7.4): its RIM distributions are calibrated to
+the reference's shipped SNOBFIT controller sets (KS 0.05-0.10 on the
+calibration transition) but retain a bounded, conservative-direction gap
+on hard transitions (KS ~0.2 on N=6 0->5; SNOBPARITY.md).  This adapter
+reproduces the reference's EXACT search instead: one host-side
+``skquant.opt.minimize(method="snobfit")`` call per Sobol restart —
+mirroring qnewton.py:818-835 with ``optset(maxmp=150, maxfail=100)``
+(qnewton.py:823-827) and ``budget=300`` — driving this framework's
+objective shims, with the reference's record/top-c/fcall semantics
+(qnewton.py:862-928).  Any environment with the reference's dependency
+stack can therefore produce exact-SNOBFIT controller sets and
+re-validate the surrogate against them (VERDICT r3 next #3).
+
+skquant/SQSnobFit is NOT shipped in the primary TPU container (verified
+round 3): constructing :class:`SNOBSkquant` there raises ImportError
+with install instructions, and the test suite skips.
+
+The optimizer itself is host-side sequential by nature (SNOBFIT's
+branch-and-fit driver is stateful Python/C++); only the objective
+evaluations ride the JAX kernels.  This is a parity/validation tool,
+not a production path — use ``models.SNOB`` on TPU.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from code_robchar_tpu.models.base import ControlOptimizer
+from code_robchar_tpu.utils.record import RunRecord, TopControllers
+
+
+def _load_skquant():
+    try:
+        from skquant import opt as skq          # noqa: F401
+        from SQSnobFit import optset            # noqa: F401
+    except ImportError as e:                    # pragma: no cover - CI path
+        raise ImportError(
+            "SNOBSkquant drives the real SNOBFIT and needs the "
+            "reference's optimizer stack: pip install skquant SQSnobFit. "
+            "In environments without it (like the primary TPU container) "
+            "use the budget-matched surrogate models.SNOB instead "
+            "(SNOBPARITY.md documents the distributional deltas)."
+        ) from e
+    return skq, optset
+
+
+class SNOBSkquant(ControlOptimizer):
+    """Reference-exact SNOBFIT restarts through skquant (qnewton.py:770-928).
+
+    Same constructor surface as the surrogate ``SNOB`` (base kwargs +
+    ``budget``), same record/records protocol, same fcall accounting
+    (300 objective evals per restart, x train_size under fixed-ham,
+    qnewton.py:862-866)."""
+
+    name = "snob"           # writes reference-named record files
+
+    def __init__(self, *args, budget: int = 300, **kwargs):
+        self._skq, self._optset = _load_skquant()
+        super().__init__(*args, **kwargs)
+        self.budget = int(budget)
+        if self.adaptive:
+            raise NotImplementedError(
+                "adaptive-shot billing is not wired for the skquant "
+                "adapter (the paper pipeline never runs snob adaptive); "
+                "use models.SNOB or adaptive=False")
+
+    def run(self):
+        """The reference SNOB.run control flow (qnewton.py:775-928):
+        Sobol/uniform x0 per restart, skquant minimize, top-c update,
+        first-hit vs budget stop, wall-clock AssertionError timeout."""
+        skq, optset = self._skq, self._optset
+        rr = RunRecord(landscape_exploration=self.landscape_exploration,
+                       records_update_rate=self.records_update_rate,
+                       run_until_completion_its=self.run_until_completion_its)
+        self.record = rr.record
+        self.records = rr.records
+        top = TopControllers(self.save_topc)
+        funccalls = 0
+        completion = False
+        start = rr.start_time
+
+        def infidelity(x):
+            if self.use_fixed_ham:
+                return 1.0 - self.fidelity_ss_av(x)
+            return 1.0 - self.fidelity_ss(x, noisy=self.fid_noisy,
+                                          ham_noisy=self.ham_noisy)
+
+        options = optset(optin={"maxmp": 150, "maxfail": 100,
+                                "verbose": False})
+        for rep in range(self.repeats):
+            x0 = np.asarray(self.init_points(1)[0], dtype=float)
+            result, _history = skq.minimize(
+                infidelity, x0, bounds=np.asarray(self.val_bounds,
+                                                  dtype=float),
+                budget=self.budget, method="snobfit", options=options)
+            fi = 1.0 - float(result.optval)
+            x = np.asarray(result.optpar, dtype=float)
+
+            # reported optimum is the min of the noisy history; the
+            # noiseless re-evaluation feeds best_fid under noise
+            # (qnewton.py:841-848, 886-889)
+            true_fid = fi if self.use_fixed_ham else self.fidelity_ss(x)
+            funccalls += self.budget * (self.train_size
+                                        if self.use_fixed_ham else 1)
+
+            def save_aux():
+                rr.save(func_calls=funccalls, iterations=None,
+                        repeats=rep, controller=x.tolist(),
+                        best_fid=(true_fid if (self.ham_noisy or
+                                               self.fid_noisy) else fi),
+                        top=top if self.landscape_exploration else None)
+
+            if not self.run_until_told_to_stop:
+                if fi > self.fid_threshold:
+                    save_aux()
+                    if self.save:
+                        self.save_record()
+                    return fi
+                continue
+
+            crit = (fi >= self.fid_threshold
+                    if rr.record["best_fid"] is None
+                    else (True if self.landscape_exploration
+                          else fi >= rr.record["best_fid"]))
+            if crit:
+                if self.landscape_exploration:
+                    top.offer(fi, x.tolist())
+                save_aux()
+            if completion:
+                return rr.record["best_fid"]
+            if time.time() - start > self.timeout:
+                print(f"timed out! {self.filename}")
+                raise AssertionError("timeout")
+            completion = funccalls + 1 >= self.run_until_completion_its
+        return rr.record["best_fid"]
