@@ -58,7 +58,16 @@ def install_recorder():
     def wrap(orig, name):
         def f(self, *args, **kwargs):
             arrs = []
-            for a in args:
+            # DATA kwargs too: the pyplot boilerplate forwards trailing
+            # positional data as KEYWORDS (e.g. plt.fill_between passes
+            # y2=...), so args alone misses arrays.  Whitelisted keys
+            # only — style kwargs (RGB color tuples, dash patterns)
+            # would otherwise be captured as small float arrays and
+            # break matching whenever the two stacks style differently.
+            data_keys = ("x", "y", "y1", "y2", "yerr", "xerr")
+            vals = list(args) + [kwargs[k] for k in sorted(kwargs)
+                                 if k in data_keys]
+            for a in vals:
                 try:
                     v = np.asarray(a)
                 except Exception:
