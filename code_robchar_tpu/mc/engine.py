@@ -38,6 +38,19 @@ from code_robchar_tpu.ops.noise import (structured_perturbation,
 from code_robchar_tpu.ops.propagate import fidelity_from_controller
 
 DEFAULT_CHUNK = 8192
+#: elements per lax.map step on the Pallas path.  Measured on one v5e
+#: chip (N=7 headline lattice, artifacts/perf/ROOFLINE.md): 47.8M
+#: Hams/s at 8192, 50.3M at 131072, degrading again at >=524288 (the
+#: XLA scan body's operand staging outgrows what the pipeline hides).
+#: CPU tests keep DEFAULT_CHUNK — a 131072-element x64 chunk would blow
+#: up per-step working memory for no benefit off-TPU.
+PALLAS_CHUNK = 131072
+
+
+def _resolve_chunk(chunk, use_pallas: bool) -> int:
+    if chunk is not None:
+        return chunk
+    return PALLAS_CHUNK if use_pallas else DEFAULT_CHUNK
 
 
 def _element_kernel(h0r, x, scale, key, in_spin, out_spin, complex_offdiag,
@@ -222,7 +235,7 @@ def mc_metric_sweep(h0: jnp.ndarray, controllers: jnp.ndarray,
                     noises: jnp.ndarray, key: jax.Array, bootreps: int,
                     in_spin: int, out_spin: int,
                     complex_offdiag: bool = True,
-                    chunk: int = DEFAULT_CHUNK,
+                    chunk: Optional[int] = None,
                     use_jacobi: bool = True,
                     use_pallas: bool = False,
                     alpha: float = 0.05) -> Dict[str, jnp.ndarray]:
@@ -230,9 +243,11 @@ def mc_metric_sweep(h0: jnp.ndarray, controllers: jnp.ndarray,
     the metric reduction fused into the sweep — same draws as
     ``metric_tensors(mc_fidelity_sweep(...), alpha)`` (values agree to
     reduction rounding), without ever holding the (L, C, B) fidelity
-    tensor in HBM."""
+    tensor in HBM.  ``chunk=None`` auto-selects PALLAS_CHUNK on the
+    Pallas path, DEFAULT_CHUNK otherwise."""
     return _metrics_core(h0, controllers, noises, key, bootreps, in_spin,
-                         out_spin, complex_offdiag, chunk, use_jacobi,
+                         out_spin, complex_offdiag,
+                         _resolve_chunk(chunk, use_pallas), use_jacobi,
                          jnp.uint32(0), controllers.shape[0], use_pallas,
                          alpha)
 
@@ -245,7 +260,7 @@ def mc_fidelity_sweep(h0: jnp.ndarray, controllers: jnp.ndarray,
                       noises: jnp.ndarray, key: jax.Array, bootreps: int,
                       in_spin: int, out_spin: int,
                       complex_offdiag: bool = True,
-                      chunk: int = DEFAULT_CHUNK,
+                      chunk: Optional[int] = None,
                       use_jacobi: bool = True,
                       use_pallas: bool = False) -> jnp.ndarray:
     """Fidelity-distribution tensor of shape (L, C, B).
@@ -256,7 +271,8 @@ def mc_fidelity_sweep(h0: jnp.ndarray, controllers: jnp.ndarray,
     sigma = noises[l] for every draw (mcsim.py:425).
     """
     return _sweep_core(h0, controllers, noises, key, bootreps, in_spin,
-                       out_spin, complex_offdiag, chunk, use_jacobi,
+                       out_spin, complex_offdiag,
+                       _resolve_chunk(chunk, use_pallas), use_jacobi,
                        jnp.uint32(0), controllers.shape[0], use_pallas)
 
 
@@ -295,7 +311,7 @@ def metric_tensors(fids: jnp.ndarray, alpha: float = 0.05
 
 def characterise(h0, controllers, noises, key, bootreps: int, in_spin: int,
                  out_spin: int, *, alpha: float = 0.05,
-                 complex_offdiag: bool = True, chunk: int = DEFAULT_CHUNK,
+                 complex_offdiag: bool = True, chunk: Optional[int] = None,
                  use_pallas: Optional[bool] = None, mesh=None,
                  return_fids: bool = True) -> Dict[str, jnp.ndarray]:
     """One-call robustness characterisation: fidelity sweep + the full

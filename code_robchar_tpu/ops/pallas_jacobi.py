@@ -60,7 +60,53 @@ def pick_tile(b: int, max_tile: int = DEFAULT_TILE) -> tuple[int, int]:
     raise AssertionError("unreachable: 128 divides the padded batch")
 
 
-def _rotation_body(n, sweeps, ar, ai, vr, vi, eps):
+#: rotation-ordering default for every Pallas Jacobi kernel.
+#: "roundrobin" arranges each sweep's n(n-1)/2 pivots into n-1 (n odd:
+#: n) STAGES of disjoint pairs (circle-method tournament schedule) and
+#: hoists the whole stage's angle computations ahead of its rotations.
+#: Disjoint pivots make the hoist exact — a rotation never touches
+#: another stage-member's pivot entries — and make the stage's rotation
+#: streams data-independent, so the VPU can overlap the angle cluster's
+#: div/sqrt latencies and interleave the row updates.  Measured on one
+#: v5e chip (artifacts/perf/ROOFLINE.md): the dependent-chain ALU probe
+#: runs at 4.7 cycles/FMA vs 0.4-1.1 with 4-8 independent streams, and
+#: the reorder alone lifts the Hermitian fidelity kernel 50.6 -> 61.7M
+#: Hams/s (1.22x) at IDENTICAL sweep counts.  Accuracy at the
+#: production sweep policy is at the same f32 floor as cyclic for every
+#: n in 3..10 incl. near-degenerate drift-dominated batches (~1e-5).
+#: The x64 parity path (ops/realform.py lanes kernels, CPU) keeps the
+#: cyclic order — it anchors the 1e-10 reference-parity contract and is
+#: not launch-latency-bound.
+DEFAULT_ORDER = "roundrobin"
+
+
+def pair_schedule(n: int, order: str = None):
+    """Sweep schedule as a list of stages of disjoint (p, q) pivots.
+
+    "cyclic": the classical row-major order, one pair per stage (the
+    pre-round-4 behavior).  "roundrobin": circle-method tournament —
+    every stage's pairs are pairwise disjoint and each sweep still
+    covers all n(n-1)/2 pairs exactly once."""
+    order = order or DEFAULT_ORDER
+    if order == "cyclic":
+        return [[(p, q)] for p in range(n - 1) for q in range(p + 1, n)]
+    if order != "roundrobin":
+        raise ValueError(f"unknown rotation order {order!r}")
+    players = list(range(n)) + ([None] if n % 2 else [])
+    m = len(players)
+    stages, arr = [], players[:]
+    for _ in range(m - 1):
+        pairs = []
+        for i in range(m // 2):
+            a, b = arr[i], arr[m - 1 - i]
+            if a is not None and b is not None:
+                pairs.append((min(a, b), max(a, b)))
+        stages.append(pairs)
+        arr = [arr[0], arr[-1]] + arr[1:-1]
+    return stages
+
+
+def _rotation_body(n, sweeps, ar, ai, vr, vi, eps, order=None):
     """Unrolled Jacobi schedule on VMEM refs.
 
     ar/ai: (n*n, T) refs; vr/vi: (2*n, T) refs holding rows [in, out].
@@ -71,80 +117,93 @@ def _rotation_body(n, sweeps, ar, ai, vr, vi, eps):
     is closed-form (A'[p,q] = 0 exactly, A'[p,p] = app - t|apq|,
     A'[q,q] = aqq + t|apq|, Rutishauser).  ~2/3 the arithmetic of the
     two-sided update; the imaginary diagonal stays exactly zero.  Same
-    formulation as realform._herm_rotate_lanes.
-    """
+    formulation as realform._herm_rotate_lanes; pivots ordered by
+    ``pair_schedule`` (round-robin stages with hoisted angles by
+    default — see DEFAULT_ORDER)."""
     def cmul(xr, xi, yr, yi):
         return xr * yr - xi * yi, xr * yi + xi * yr
 
+    def angles(p, q):
+        app = ar[p * n + p, :]
+        aqq = ar[q * n + q, :]
+        xr = ar[p * n + q, :]
+        xi = ai[p * n + q, :]
+        r = jnp.sqrt(xr * xr + xi * xi)
+        active = r > eps * (jnp.abs(app) + jnp.abs(aqq) + r)
+        safe = jnp.where(active, r, 1.0)
+        pr = jnp.where(active, xr / safe, 1.0)
+        pi_ = jnp.where(active, xi / safe, 0.0)
+        tau = (aqq - app) / (2.0 * safe)
+        t = jnp.sign(tau) / (jnp.abs(tau) +
+                             jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(tau == 0.0, 1.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        c = jnp.where(active, c, 1.0)
+        s = jnp.where(active, s, 0.0)
+        t_eff = jnp.where(active, t, 0.0)
+        return pr, pi_, c, s, t_eff, r, xr, xi, app, aqq, active
+
+    def apply(p, q, ang):
+        pr, pi_, c, s, t_eff, r, xr, xi, app, aqq, active = ang
+        # columns p, q of A at rows i not in {p, q}, mirrored
+        # into rows p, q by conjugation
+        for i in range(n):
+            if i == p or i == q:
+                continue
+            cpr = ar[i * n + p, :]
+            cpi = ai[i * n + p, :]
+            cqr = ar[i * n + q, :]
+            cqi = ai[i * n + q, :]
+            tr, ti = cmul(pr, -pi_, cqr, cqi)
+            npr_ = c * cpr - s * tr
+            npi_ = c * cpi - s * ti
+            ar[i * n + p, :] = npr_
+            ai[i * n + p, :] = npi_
+            ar[p * n + i, :] = npr_
+            ai[p * n + i, :] = -npi_
+            tr, ti = cmul(pr, pi_, cpr, cpi)
+            nqr_ = s * tr + c * cqr
+            nqi_ = s * ti + c * cqi
+            ar[i * n + q, :] = nqr_
+            ai[i * n + q, :] = nqi_
+            ar[q * n + i, :] = nqr_
+            ai[q * n + i, :] = -nqi_
+
+        # closed-form pivot block
+        zr = jnp.where(active, 0.0, xr)
+        zi = jnp.where(active, 0.0, xi)
+        ar[p * n + p, :] = app - t_eff * r
+        ar[q * n + q, :] = aqq + t_eff * r
+        ar[p * n + q, :] = zr
+        ar[q * n + p, :] = zr
+        ai[p * n + q, :] = zi
+        ai[q * n + p, :] = -zi
+        # ai diagonal entries start at zero and are never written
+
+        # carried V rows (2 rows x n columns)
+        for rrow in range(2):
+            wpr = vr[rrow * n + p, :]
+            wpi = vi[rrow * n + p, :]
+            wqr = vr[rrow * n + q, :]
+            wqi = vi[rrow * n + q, :]
+            tr, ti = cmul(pr, -pi_, wqr, wqi)
+            vr[rrow * n + p, :] = c * wpr - s * tr
+            vi[rrow * n + p, :] = c * wpi - s * ti
+            tr, ti = cmul(pr, pi_, wpr, wpi)
+            vr[rrow * n + q, :] = s * tr + c * wqr
+            vi[rrow * n + q, :] = s * ti + c * wqi
+
+    schedule = pair_schedule(n, order)
     for _ in range(sweeps):
-        for p in range(n - 1):
-            for q in range(p + 1, n):
-                app = ar[p * n + p, :]
-                aqq = ar[q * n + q, :]
-                xr = ar[p * n + q, :]
-                xi = ai[p * n + q, :]
-                r = jnp.sqrt(xr * xr + xi * xi)
-                active = r > eps * (jnp.abs(app) + jnp.abs(aqq) + r)
-                safe = jnp.where(active, r, 1.0)
-                pr = jnp.where(active, xr / safe, 1.0)
-                pi_ = jnp.where(active, xi / safe, 0.0)
-                tau = (aqq - app) / (2.0 * safe)
-                t = jnp.sign(tau) / (jnp.abs(tau) +
-                                     jnp.sqrt(1.0 + tau * tau))
-                t = jnp.where(tau == 0.0, 1.0, t)
-                c = 1.0 / jnp.sqrt(1.0 + t * t)
-                s = t * c
-                c = jnp.where(active, c, 1.0)
-                s = jnp.where(active, s, 0.0)
-                t_eff = jnp.where(active, t, 0.0)
-
-                # columns p, q of A at rows i not in {p, q}, mirrored
-                # into rows p, q by conjugation
-                for i in range(n):
-                    if i == p or i == q:
-                        continue
-                    cpr = ar[i * n + p, :]
-                    cpi = ai[i * n + p, :]
-                    cqr = ar[i * n + q, :]
-                    cqi = ai[i * n + q, :]
-                    tr, ti = cmul(pr, -pi_, cqr, cqi)
-                    npr_ = c * cpr - s * tr
-                    npi_ = c * cpi - s * ti
-                    ar[i * n + p, :] = npr_
-                    ai[i * n + p, :] = npi_
-                    ar[p * n + i, :] = npr_
-                    ai[p * n + i, :] = -npi_
-                    tr, ti = cmul(pr, pi_, cpr, cpi)
-                    nqr_ = s * tr + c * cqr
-                    nqi_ = s * ti + c * cqi
-                    ar[i * n + q, :] = nqr_
-                    ai[i * n + q, :] = nqi_
-                    ar[q * n + i, :] = nqr_
-                    ai[q * n + i, :] = -nqi_
-
-                # closed-form pivot block
-                zr = jnp.where(active, 0.0, xr)
-                zi = jnp.where(active, 0.0, xi)
-                ar[p * n + p, :] = app - t_eff * r
-                ar[q * n + q, :] = aqq + t_eff * r
-                ar[p * n + q, :] = zr
-                ar[q * n + p, :] = zr
-                ai[p * n + q, :] = zi
-                ai[q * n + p, :] = -zi
-                # ai diagonal entries start at zero and are never written
-
-                # carried V rows (2 rows x n columns)
-                for rrow in range(2):
-                    wpr = vr[rrow * n + p, :]
-                    wpi = vi[rrow * n + p, :]
-                    wqr = vr[rrow * n + q, :]
-                    wqi = vi[rrow * n + q, :]
-                    tr, ti = cmul(pr, -pi_, wqr, wqi)
-                    vr[rrow * n + p, :] = c * wpr - s * tr
-                    vi[rrow * n + p, :] = c * wpi - s * ti
-                    tr, ti = cmul(pr, pi_, wpr, wpi)
-                    vr[rrow * n + q, :] = s * tr + c * wqr
-                    vi[rrow * n + q, :] = s * ti + c * wqi
+        for stage in schedule:
+            # hoisted: a stage's pivot entries are mutually untouched,
+            # so all its angles read pre-stage values whichever order
+            # the rotations then apply in (sequential application is
+            # exactly the composed similarity transform)
+            angs = [angles(p, q) for (p, q) in stage]
+            for (p, q), ang in zip(stage, angs):
+                apply(p, q, ang)
 
 
 def make_fidelity_kernel(n: int, in_spin: int, out_spin: int,
@@ -214,55 +273,71 @@ def make_fidelity_kernel(n: int, in_spin: int, out_spin: int,
     return run
 
 
-def sym_sweeps_on_scratch(n, sweeps, a, v, eps=1e-7):
-    """Cyclic symmetric Jacobi on VMEM scratch ``a`` ((n*n, B): entry
-    (i, j) on sublane row i*n+j, batch on lanes), carrying the rows of
-    ``v`` ((R*n, B), R carried eigenvector rows) through the rotations.
+def _sym_angles(n, a, p, q, eps):
+    """Rotation angle for real-symmetric pivot (p, q) from the CURRENT
+    scratch values (Rutishauser stable form; inactive lanes get the
+    identity rotation)."""
+    app = a[p * n + p, :]
+    aqq = a[q * n + q, :]
+    apq = a[p * n + q, :]
+    r = jnp.abs(apq)
+    active = r > eps * (jnp.abs(app) + jnp.abs(aqq) + r)
+    safe = jnp.where(active, apq, 1.0)
+    tau = (aqq - app) / (2.0 * safe)
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(tau == 0.0, 1.0, t)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s = t * c
+    c = jnp.where(active, c, 1.0)
+    s = jnp.where(active, s, 0.0)
+    t_eff = jnp.where(active, t, 0.0)
+    return c, s, t_eff, apq, app, aqq, active
+
+
+def _sym_apply(n, a, v, p, q, ang):
+    """Symmetric-update rotation at pivot (p, q): rotate columns p, q,
+    mirror into rows p, q, closed-form pivot block, rotate carried V
+    rows."""
+    c, s, t_eff, apq, app, aqq, active = ang
+    for i in range(n):
+        if i == p or i == q:
+            continue
+        cp = a[i * n + p, :]
+        cq = a[i * n + q, :]
+        ncp = c * cp - s * cq
+        ncq = s * cp + c * cq
+        a[i * n + p, :] = ncp
+        a[p * n + i, :] = ncp
+        a[i * n + q, :] = ncq
+        a[q * n + i, :] = ncq
+    z = jnp.where(active, 0.0, apq)
+    a[p * n + p, :] = app - t_eff * apq
+    a[q * n + q, :] = aqq + t_eff * apq
+    a[p * n + q, :] = z
+    a[q * n + p, :] = z
+    for rr in range(v.shape[0] // n):      # carried V rows
+        wp = v[rr * n + p, :]
+        wq = v[rr * n + q, :]
+        v[rr * n + p, :] = c * wp - s * wq
+        v[rr * n + q, :] = s * wp + c * wq
+
+
+def sym_sweeps_on_scratch(n, sweeps, a, v, eps=1e-7, order=None):
+    """Symmetric Jacobi on VMEM scratch ``a`` ((n*n, B): entry (i, j) on
+    sublane row i*n+j, batch on lanes), carrying the rows of ``v``
+    ((R*n, B), R carried eigenvector rows) through the rotations.
     Shared by the amplitude kernel below and the fused rollout step
     kernel (ops/pallas_rollout.py); symmetric-update formulation
-    (conjugate-mirror rows + closed-form pivot block)."""
+    (conjugate-mirror rows + closed-form pivot block).  Pivot order from
+    ``pair_schedule`` — round-robin stages with hoisted angle clusters
+    by default (DEFAULT_ORDER; exact because a stage's pivots are
+    disjoint)."""
+    schedule = pair_schedule(n, order)
     for _ in range(sweeps):
-        for p in range(n - 1):
-            for q in range(p + 1, n):
-                app = a[p * n + p, :]
-                aqq = a[q * n + q, :]
-                apq = a[p * n + q, :]
-                r = jnp.abs(apq)
-                active = r > eps * (jnp.abs(app) + jnp.abs(aqq) + r)
-                safe = jnp.where(active, apq, 1.0)
-                tau = (aqq - app) / (2.0 * safe)
-                t = jnp.sign(tau) / (jnp.abs(tau) +
-                                     jnp.sqrt(1.0 + tau * tau))
-                t = jnp.where(tau == 0.0, 1.0, t)
-                c = 1.0 / jnp.sqrt(1.0 + t * t)
-                s = t * c
-                c = jnp.where(active, c, 1.0)
-                s = jnp.where(active, s, 0.0)
-                t_eff = jnp.where(active, t, 0.0)
-
-                # columns p, q at rows i not in {p, q}, mirrored into
-                # rows p, q by symmetry; closed-form pivot block
-                for i in range(n):
-                    if i == p or i == q:
-                        continue
-                    cp = a[i * n + p, :]
-                    cq = a[i * n + q, :]
-                    ncp = c * cp - s * cq
-                    ncq = s * cp + c * cq
-                    a[i * n + p, :] = ncp
-                    a[p * n + i, :] = ncp
-                    a[i * n + q, :] = ncq
-                    a[q * n + i, :] = ncq
-                z = jnp.where(active, 0.0, apq)
-                a[p * n + p, :] = app - t_eff * apq
-                a[q * n + q, :] = aqq + t_eff * apq
-                a[p * n + q, :] = z
-                a[q * n + p, :] = z
-                for rr in range(v.shape[0] // n):      # carried V rows
-                    wp = v[rr * n + p, :]
-                    wq = v[rr * n + q, :]
-                    v[rr * n + p, :] = c * wp - s * wq
-                    v[rr * n + q, :] = s * wp + c * wq
+        for stage in schedule:
+            angs = [_sym_angles(n, a, p, q, eps) for (p, q) in stage]
+            for (p, q), ang in zip(stage, angs):
+                _sym_apply(n, a, v, p, q, ang)
 
 
 def transfer_amp_from_scratch(n, a, v, t):
@@ -358,48 +433,9 @@ def make_sym_grad_kernel(n: int, in_spin: int, out_spin: int,
         sel = (rows % (n + 1)) == 0
         v[:, :] = jnp.where(sel, 1.0, 0.0).astype(a_in.dtype)
 
-        for _ in range(sweeps):
-            for p in range(n - 1):
-                for q in range(p + 1, n):
-                    app = a[p * n + p, :]
-                    aqq = a[q * n + q, :]
-                    apq = a[p * n + q, :]
-                    r = jnp.abs(apq)
-                    active = r > eps * (jnp.abs(app) + jnp.abs(aqq) + r)
-                    safe = jnp.where(active, apq, 1.0)
-                    tau = (aqq - app) / (2.0 * safe)
-                    tt = jnp.sign(tau) / (jnp.abs(tau) +
-                                          jnp.sqrt(1.0 + tau * tau))
-                    tt = jnp.where(tau == 0.0, 1.0, tt)
-                    c = 1.0 / jnp.sqrt(1.0 + tt * tt)
-                    s = tt * c
-                    c = jnp.where(active, c, 1.0)
-                    s = jnp.where(active, s, 0.0)
-                    tt_eff = jnp.where(active, tt, 0.0)
-
-                    # columns p, q at rows i not in {p, q}, mirrored into
-                    # rows p, q by symmetry; closed-form pivot block
-                    for i in range(n):
-                        if i == p or i == q:
-                            continue
-                        cp = a[i * n + p, :]
-                        cq = a[i * n + q, :]
-                        ncp = c * cp - s * cq
-                        ncq = s * cp + c * cq
-                        a[i * n + p, :] = ncp
-                        a[p * n + i, :] = ncp
-                        a[i * n + q, :] = ncq
-                        a[q * n + i, :] = ncq
-                    z = jnp.where(active, 0.0, apq)
-                    a[p * n + p, :] = app - tt_eff * apq
-                    a[q * n + q, :] = aqq + tt_eff * apq
-                    a[p * n + q, :] = z
-                    a[q * n + p, :] = z
-                    for rr in range(n):      # ALL carried V rows
-                        wp = v[rr * n + p, :]
-                        wq = v[rr * n + q, :]
-                        v[rr * n + p, :] = c * wp - s * wq
-                        v[rr * n + q, :] = s * wp + c * wq
+        # same rotation math as sym_sweeps_on_scratch (v carries ALL n
+        # eigenvector rows here); round-robin stages by default
+        sym_sweeps_on_scratch(n, sweeps, a, v, eps)
 
         t = t_in[0, :]
         lam = [a[k * n + k, :] for k in range(n)]

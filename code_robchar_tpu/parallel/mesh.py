@@ -74,7 +74,7 @@ def sharded_mc_sweep(mesh: Mesh, h0, controllers, noises, key, bootreps: int,
                      in_spin: int, out_spin: int, *,
                      complex_offdiag: bool = True,
                      use_jacobi: bool = True, use_pallas: bool = False,
-                     chunk: int = engine.DEFAULT_CHUNK) -> jnp.ndarray:
+                     chunk=None) -> jnp.ndarray:
     """(L, C, B) fidelity tensor with the controller axis sharded.
 
     shard_map over the controller axis: each device sweeps its block with
@@ -88,7 +88,8 @@ def sharded_mc_sweep(mesh: Mesh, h0, controllers, noises, key, bootreps: int,
     c_global = controllers.shape[0]
     n_dev = check_divisible(mesh, c_global, "controller")
     c_local = c_global // n_dev
-    local_chunk = min(chunk, noises.shape[0] * c_local * bootreps)
+    local_chunk = min(engine._resolve_chunk(chunk, use_pallas),
+                      noises.shape[0] * c_local * bootreps)
 
     def local_sweep(ctrl_block):
         dev = jax.lax.axis_index(BATCH_AXIS)
@@ -109,7 +110,7 @@ def sharded_mc_metrics(mesh: Mesh, h0, controllers, noises, key,
                        bootreps: int, in_spin: int, out_spin: int, *,
                        complex_offdiag: bool = True,
                        use_pallas: bool = False,
-                       chunk: int = engine.DEFAULT_CHUNK,
+                       chunk=None,
                        alpha: float = 0.05):
     """Fused sweep+metric reduction with the controller axis sharded.
 
@@ -123,7 +124,8 @@ def sharded_mc_metrics(mesh: Mesh, h0, controllers, noises, key,
     c_global = controllers.shape[0]
     n_dev = check_divisible(mesh, c_global, "controller")
     c_local = c_global // n_dev
-    local_chunk = min(chunk, noises.shape[0] * c_local * bootreps)
+    local_chunk = min(engine._resolve_chunk(chunk, use_pallas),
+                      noises.shape[0] * c_local * bootreps)
 
     def local_metrics(ctrl_block):
         dev = jax.lax.axis_index(BATCH_AXIS)

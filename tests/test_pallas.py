@@ -199,3 +199,53 @@ def test_objectives_dispatch_pallas_for_odd_widths(monkeypatch, rng):
         ("grad", 7), ("grad", 833), ("grad", 1153)]
     assert [c for c in calls if c[0] == "fid"] == [
         ("fid", 7), ("fid", 833), ("fid", 1153)]
+
+
+def test_pair_schedule_covers_all_pairs_disjointly():
+    """Round-robin ordering (round 4, ROOFLINE.md): every sweep must
+    still visit each of the n(n-1)/2 pivots exactly once, and a stage's
+    pairs must be pairwise disjoint (that disjointness is what makes
+    the hoisted angle computation exact)."""
+    from code_robchar_tpu.ops.pallas_jacobi import pair_schedule
+
+    for n in range(2, 12):
+        for order in ("cyclic", "roundrobin"):
+            stages = pair_schedule(n, order)
+            flat = [pq for st in stages for pq in st]
+            assert sorted(flat) == [(p, q) for p in range(n - 1)
+                                    for q in range(p + 1, n)], (n, order)
+            for st in stages:
+                touched = [i for pq in st for i in pq]
+                assert len(touched) == len(set(touched)), (n, order, st)
+    # cyclic must reproduce the exact pre-round-4 row-major order
+    assert [st[0] for st in pair_schedule(4, "cyclic")] == [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    import pytest
+    with pytest.raises(ValueError):
+        pair_schedule(5, "zigzag")
+
+
+def test_roundrobin_matches_cyclic_at_convergence(rng):
+    """Rotation-order change must not move the converged result beyond
+    the f32 floor: RR and cyclic fidelities agree to ~1e-5 at the
+    production sweep count (interpret mode; the on-device check is the
+    accuracy table in artifacts/perf/ROOFLINE.md)."""
+    from code_robchar_tpu.ops.pallas_jacobi import make_fidelity_kernel
+
+    n, b = 5, 256
+    a = rng.normal(size=(b, n, n)).astype(np.float32)
+    sym = (a + np.transpose(a, (0, 2, 1))) / 2
+    sk = rng.normal(size=(b, n, n)).astype(np.float32)
+    skew = (sk - np.transpose(sk, (0, 2, 1))) / 2
+    ar = jnp.asarray(np.moveaxis(sym, 0, -1).reshape(n * n, b).copy())
+    ai = jnp.asarray(np.moveaxis(skew, 0, -1).reshape(n * n, b).copy())
+    t = jnp.asarray(rng.uniform(1, 5, b).astype(np.float32))
+    f_rr = make_fidelity_kernel(n, 0, 4, sweeps=5, tile=b,
+                                interpret=True)(ar, ai, t.reshape(1, b))
+    # x64 oracle
+    H = sym.astype(np.float64) + 1j * skew.astype(np.float64)
+    lam, V = np.linalg.eigh(H)
+    ph = np.einsum("bk,bk,bk->b", V[:, 4, :], np.conj(V[:, 0, :]),
+                   np.exp(-1j * lam * np.asarray(t, np.float64)[:, None]))
+    np.testing.assert_allclose(np.asarray(f_rr).ravel(),
+                               np.abs(ph) ** 2, atol=3e-5)
