@@ -128,6 +128,22 @@ class KTRConsistency(MCDataSim):
         alt_path = os.path.join(self.fig_dir, f"{figname}_alt9.pdf")
         fig_alt.savefig(alt_path, bbox_inches="tight")
         plt.close(fig_alt)
+
+        # combined per-panel tau_{0,j} matrix — the reference's trailing
+        # pcolortaus(allcorrs) (generate_fig4...:362-364: one row per
+        # (algo, sigma_train) panel, the zero-noise-anchored tau row);
+        # side-by-side-matched in artifacts/figparity/sidebyside
+        fig_c, ax_c = plt.subplots(figsize=(6, 0.6 * len(panels) + 2))
+        combined = np.stack([taus[0] for _, taus in panels])
+        ax_c.pcolor(combined, norm=colors.Normalize(vmin=0, vmax=1),
+                    edgecolors="k", linewidth=1, cmap="viridis")
+        ax_c.set_yticks(np.arange(len(panels)) + 0.5)
+        ax_c.set_yticklabels([label for label, _ in panels], fontsize=8)
+        ax_c.set_xlabel(r"$\sigma_{sim}^{(j)}$")
+        fig_c.savefig(os.path.join(self.fig_dir,
+                                   f"{figname}_combined.pdf"),
+                      bbox_inches="tight")
+        plt.close(fig_c)
         return path, alt_path
 
     def plot_grouped_boxplots(self, algos: Optional[List[str]] = None,

@@ -59,6 +59,8 @@ def test_fig4_taus_and_boxplots(tmp_path):
     assert np.all(np.diag(taus) > 0.5)
     p, p_alt = y.plot_kendalltaus(noise_keys=["0.05"], figname="fig4")
     assert os.path.exists(p) and os.path.exists(p_alt)
+    # the reference's trailing combined tau_{0,j} pcolor (fig4:362-364)
+    assert os.path.exists(p.replace("fig4.pdf", "fig4_combined.pdf"))
     pb = y.plot_grouped_boxplots(noise_keys=["0.05"])
     assert os.path.exists(pb)
 
