@@ -86,10 +86,11 @@ def main():
     noises = jnp.asarray(np.linspace(0, 0.1, n_noise).astype(np.float32))
     key = jax.random.key(0)
 
-    # chunk 65536 amortises lax.map step overhead (~3% over 8192; HBM
-    # per chunk is ~26 MB, far under budget)
+    # chunk=None -> engine auto-picks: 131072 on the Pallas path (the
+    # measured optimum, artifacts/perf/ROOFLINE.md chunk sweep), 8192 on
+    # the XLA fallback
     kwargs = dict(bootreps=bootreps, in_spin=0, out_spin=6,
-                  complex_offdiag=True, chunk=65536, use_jacobi=True,
+                  complex_offdiag=True, chunk=None, use_jacobi=True,
                   use_pallas=True)
     try:  # Pallas TPU kernel; fall back to the XLA lanes path elsewhere
         engine.mc_fidelity_sweep(h0, ctrl[:256], noises[:1], key, 4,
@@ -113,7 +114,7 @@ def main():
         def run_metrics(k):
             return sharded_mc_metrics(
                 mesh, h0, ctrl, noises, k, bootreps, 0, 6,
-                complex_offdiag=True, chunk=65536,
+                complex_offdiag=True, chunk=None,
                 use_pallas=kwargs["use_pallas"])
     else:
         def run_metrics(k):
