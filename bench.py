@@ -98,6 +98,10 @@ def main():
                                  use_pallas=True).block_until_ready()
     except Exception:
         kwargs["use_pallas"] = False
+        # the XLA lanes path was measured ~3% faster at 65536 than the
+        # engine's CPU-safe 8192 default (the Pallas-path 131072 sweep
+        # in ROOFLINE.md didn't cover this path)
+        kwargs["chunk"] = 65536
 
     # warm-up at the EXACT production shapes: compilation + first run.
     # The timed program is the FUSED sweep+metric reduction

@@ -432,6 +432,7 @@ class ControlOptimizer:
         iters = 0
         reps_done = 0
         batch = self._batch_size()
+        x0s_first = None   # persistent streams: init draws consumed once
 
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
 
@@ -482,7 +483,19 @@ class ControlOptimizer:
             if shard_this:
                 k_sched = (k_sched // n_dev) * n_dev
                 k = min(k, k_sched)
-            x0s = self.init_points(k)
+            if self.persistent_streams and x0s_first is not None \
+                    and len(x0s_first) == k:
+                # persistent streams (Adam) ignore x0s after their first
+                # segment (w/m/v carry across dispatches) — re-drawing
+                # here would consume k Sobol draws per segment and break
+                # the restart table's plain-continuation contract.  The
+                # reference's Adam draws from ONE sampler sequence: the
+                # initial point, then restart candidates only
+                # (qnewton.py:659-700).
+                x0s = x0s_first
+            else:
+                x0s = self.init_points(k)
+                x0s_first = x0s
             if k < k_sched:
                 # pad with copies of the last real start: the Sobol/uniform
                 # stream advances by exactly k (reference parity), and the

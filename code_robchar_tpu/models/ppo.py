@@ -192,26 +192,37 @@ class PPO_en:
                          ham_noisy=bool(self.ham_noisy),
                          draws=int(self.draws))
 
-    def fused_rollout_fallback_reasons(self):
-        """Host-side mirror of the fused-rollout gating in
-        `_build_epoch_impl` (regime guards at the `use_fused_rollout`
-        assignment; tile guard at the `tile_ok` check): the list of
-        reasons the whole-trajectory Pallas rollout will NOT be used on
-        a Pallas-capable backend.  Empty list = the fused path runs."""
+    @staticmethod
+    def _fused_rollout_gate(use_fixed_ham, fid_noisy, use_pallas,
+                            local_agents):
+        """THE fused-rollout gating predicate — the single source of
+        truth shared by the dispatch decision in `_build_epoch_impl`'s
+        rollout and by the user-facing diagnostic below, so the two can
+        never drift.  Returns the list of reasons the whole-trajectory
+        Pallas rollout cannot run; empty list = the fused path runs."""
         reasons = []
-        if self.use_fixed_ham:
+        if use_fixed_ham:
             reasons.append("fixed-ham ensemble reward (averaged "
                            "propagator has no fused kernel)")
-        if self.fid_noisy:
+        if fid_noisy:
             reasons.append("shot-noise fidelity (fid_noisy)")
+        if not (local_agents % 128 == 0 or
+                (not use_pallas and local_agents % 64 == 0)):
+            reasons.append(f"agent count {local_agents}/device does not "
+                           "tile the 128-lane dim")
+        return reasons
+
+    def fused_rollout_fallback_reasons(self):
+        """The reasons the whole-trajectory Pallas rollout will NOT be
+        used on a Pallas-capable backend (same `_fused_rollout_gate`
+        predicate the epoch dispatch consumes).  Empty list = the fused
+        path runs."""
         use_pallas = jax.default_backend() not in ("cpu",)
         n_dev = (self.mesh.devices.size
                  if self.mesh is not None and self.num_agents > 1 else 1)
         local = max(1, self.num_agents // n_dev)
-        if not (local % 128 == 0 or (not use_pallas and local % 64 == 0)):
-            reasons.append(f"agent count {local}/device does not tile "
-                           "the 128-lane dim")
-        return reasons
+        return self._fused_rollout_gate(self.use_fixed_ham, self.fid_noisy,
+                                        use_pallas, local)
 
     def _signal_fused_fallbacks(self):
         """One verbose line when the fused rollout is auto-disabled by
@@ -350,10 +361,11 @@ class PPO_en:
         # training regime only (real structured/no ham noise, exact
         # reward, no fixed-ham ensemble); agent count must tile the
         # 128-lane dim (64 accepted in interpret mode, where the
-        # weight-DMA alignment constraint doesn't apply)
-        use_fused_rollout = ((self.fused_rollout if self.fused_rollout
-                              is not None else use_pallas)
-                             and fixed_r is None and not cfg.fid_noisy)
+        # weight-DMA alignment constraint doesn't apply).  The actual
+        # regime + tile decision is _fused_rollout_gate, evaluated in
+        # rollout() where the agent count is known.
+        fused_rollout_wanted = (self.fused_rollout if self.fused_rollout
+                                is not None else use_pallas)
         eff_sweeps = (sweeps if sweeps is not None
                       else realform._sweeps_for(dt, n))
 
@@ -443,9 +455,9 @@ class PPO_en:
             else:
                 ks_all = jnp.zeros((t_len, 1), jnp.int32)
 
-            tile_ok = (a_cnt % 128 == 0 or
-                       (not use_pallas and a_cnt % 64 == 0))
-            if use_fused_rollout and tile_ok:
+            gate_reasons = PPO_en._fused_rollout_gate(
+                fixed_r is not None, cfg.fid_noisy, use_pallas, a_cnt)
+            if fused_rollout_wanted and not gate_reasons:
                 # the ENTIRE trajectory in one Pallas launch: actor
                 # weights DMA'd into VMEM once per agent tile, carry in
                 # scratch, noise streamed in, trajectory streamed out.

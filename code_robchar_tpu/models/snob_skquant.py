@@ -136,5 +136,8 @@ class SNOBSkquant(ControlOptimizer):
             if time.time() - start > self.timeout:
                 print(f"timed out! {self.filename}")
                 raise AssertionError("timeout")
-            completion = funccalls + 1 >= self.run_until_completion_its
+            # None budget = run on the wall-clock timeout alone, like
+            # base.run (base.py uses `or np.inf` for the same gate)
+            completion = (funccalls + 1 >=
+                          (self.run_until_completion_its or np.inf))
         return rr.record["best_fid"]

@@ -33,7 +33,7 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-def _jaxlib_needs_cache_clear() -> bool:
+def _jaxlib_needs_cache_clear(version: str = None) -> bool:
     """True when the per-module `jax.clear_caches()` workaround is still
     needed: the XLA:CPU compile segfault it skirts is pinned to jaxlib
     0.9.0 (artifacts/xla_cpu_segfault_findings.md).  Self-retiring
@@ -41,11 +41,19 @@ def _jaxlib_needs_cache_clear() -> bool:
     tests/test_shims.py::test_xla_cpu_segfault_canary re-runs the
     committed stress repro on upgrade so the verdict (crash fixed vs
     re-pin this bound) surfaces automatically."""
-    import jaxlib
+    import re
+
+    if version is None:
+        import jaxlib
+        version = jaxlib.__version__
     parts = []
-    for p in jaxlib.__version__.split(".")[:3]:
-        digits = "".join(ch for ch in p if ch.isdigit())
-        parts.append(int(digits) if digits else 0)
+    for p in version.split(".")[:3]:
+        # LEADING digits only: a pre-release like "0.9.0rc1" must stay
+        # on the broken 0.9.0 line ("0rc1" -> 0, not "01" -> 1, which
+        # would disable the workaround on a release candidate of the
+        # very version the crash is pinned to)
+        m = re.match(r"\d+", p)
+        parts.append(int(m.group()) if m else 0)
     return tuple(parts) <= (0, 9, 0)
 
 

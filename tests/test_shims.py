@@ -134,3 +134,19 @@ def test_xla_cpu_segfault_canary():
         f"crashes (rc={r.returncode}); re-pin the version bound in "
         "tests/conftest._jaxlib_needs_cache_clear.\n" + r.stdout[-2000:]
         + r.stderr[-2000:])
+
+
+def test_jaxlib_version_gate_parse():
+    """Pre-release/post tags of the pinned-broken 0.9.0 line must keep
+    the cache-clear workaround ACTIVE (leading-digit parse: '0rc1' -> 0,
+    not '01' -> 1), and genuinely newer versions must retire it."""
+    from tests.conftest import _jaxlib_needs_cache_clear as gate
+
+    assert gate("0.9.0")
+    assert gate("0.9.0rc1")          # the regression case
+    assert gate("0.9.0.dev20260101")
+    assert gate("0.8.1")
+    assert not gate("0.9.1")
+    assert not gate("0.9.1rc1")      # 0.9.1 line is past the pin
+    assert not gate("0.10.0")
+    assert not gate("1.0.0")
