@@ -8,8 +8,13 @@ on a real TPU chip; the reference equivalent is 1.1e7 sequential scipy expm
 calls, mcsim.py:422-460).
 
 vs_baseline = our Hamiltonians/sec divided by the reference's
-single-process scipy-expm Hamiltonians/sec measured on this host
-(the reference has no published numbers — BASELINE.md).
+single-process scipy-expm Hamiltonians/sec (the reference has no
+published numbers — BASELINE.md).  The denominator is the FROZEN
+idle-host calibration in artifacts/ref_cpu_rate_calib.json when
+present (the live 3-window rate wobbles 2-4x with ambient load on a
+1-CPU host, which made vs_baseline incomparable across rounds —
+VERDICT r3); the live rate is still measured and printed as
+reference_cpu_rate_live.
 
 Prints exactly one JSON line.
 """
@@ -55,6 +60,22 @@ def reference_cpu_rate(n: int = 7, samples: int = 300):
             acc += abs(u[6, 0]) ** 2
         rates.append(samples / (time.perf_counter() - start))
     return float(np.median(rates)), float(min(rates)), float(max(rates))
+
+
+def baseline_denominator(live_rate: float):
+    """vs_baseline denominator: the frozen idle-host calibration
+    (artifacts/ref_cpu_rate_calib.json, produced by
+    artifacts/ref_cpu_rate_calibrate.py) when present, else the live
+    measurement.  Returns (rate, frozen?)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "artifacts", "ref_cpu_rate_calib.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["rate_median"]), True
+    except (OSError, ValueError, KeyError):
+        return live_rate, False
 
 
 def main():
@@ -142,7 +163,8 @@ def main():
     elapsed = float(np.median(times))
 
     rate = total / elapsed
-    ref_rate, ref_lo, ref_hi = reference_cpu_rate(n)
+    live_rate, ref_lo, ref_hi = reference_cpu_rate(n)
+    ref_rate, ref_frozen = baseline_denominator(live_rate)
 
     if n_dev > 1:
         from code_robchar_tpu.parallel import mesh as pmesh
@@ -243,6 +265,8 @@ def main():
         "vs_baseline": round(rate / ref_rate, 1),
         "wall_seconds": round(elapsed, 2),
         "reference_cpu_rate": round(ref_rate, 1),
+        "reference_cpu_rate_frozen": ref_frozen,
+        "reference_cpu_rate_live": round(live_rate, 1),
         "reference_cpu_rate_range": [round(ref_lo, 1), round(ref_hi, 1)],
         "rim_checksum": round(checksum, 3),
         "ppo_env_steps_per_s": round(ppo_rate, 1),

@@ -150,3 +150,28 @@ def test_jaxlib_version_gate_parse():
     assert not gate("0.9.1rc1")      # 0.9.1 line is past the pin
     assert not gate("0.10.0")
     assert not gate("1.0.0")
+
+
+def test_bench_baseline_denominator(tmp_path, monkeypatch):
+    """bench.vs_baseline divides by the frozen idle-host calibration
+    when artifacts/ref_cpu_rate_calib.json exists, else the live rate
+    (the live 3-window measurement wobbles 2-4x with ambient load)."""
+    import json as _json
+    import bench
+
+    # point the loader at a temp repo root via its own module file
+    fake_root = tmp_path / "repo"
+    (fake_root / "artifacts").mkdir(parents=True)
+    monkeypatch.setattr(bench, "__file__", str(fake_root / "bench.py"))
+
+    rate, frozen = bench.baseline_denominator(123.4)
+    assert (rate, frozen) == (123.4, False)      # no artifact -> live
+
+    calib = fake_root / "artifacts" / "ref_cpu_rate_calib.json"
+    calib.write_text(_json.dumps({"rate_median": 9876.5}))
+    rate, frozen = bench.baseline_denominator(123.4)
+    assert (rate, frozen) == (9876.5, True)
+
+    calib.write_text("{not json")                 # corrupt -> live
+    rate, frozen = bench.baseline_denominator(123.4)
+    assert (rate, frozen) == (123.4, False)
