@@ -70,8 +70,12 @@ def _build(T: int, Tp: int, d1: int, h: int, iters: int, lr: float,
     1 -> 128 on the MXU) to VPU broadcast/reduction forms was REJECTED
     by measurement: 512-agent epochs went 217 -> 245 ms because the
     added VPU work lands on the critical unit while the MXU idles.
-    Further gains need a cheaper tanh, which would break parity with
-    the reference's torch critic."""
+    A cheaper tanh was the one remaining candidate lever; a
+    fetch-barrier microbench (artifacts/perf/tanh_microbench.py,
+    round 4) refuted it: Mosaic lowers ``jnp.tanh`` to mul-parity
+    (~0.85 ps/elem marginal vs 1.18 for a multiply on v5e), and a
+    rational P13/Q6 replacement measures ~8x slower.  The kernel is at
+    its VPU roof."""
     Ba = block
 
     def kernel(count_ref, wb1_ref, wb2_ref, wb3_ref,
