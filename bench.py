@@ -74,7 +74,9 @@ def baseline_denominator(live_rate: float):
     try:
         with open(path) as f:
             return float(json.load(f)["rate_median"]), True
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
+        # TypeError: a partially written calibration ({"rate_median":
+        # null}) must also fall back to the live rate
         return live_rate, False
 
 
@@ -139,7 +141,7 @@ def main():
         def run_metrics(k):
             return sharded_mc_metrics(
                 mesh, h0, ctrl, noises, k, bootreps, 0, 6,
-                complex_offdiag=True, chunk=None,
+                complex_offdiag=True, chunk=kwargs["chunk"],
                 use_pallas=kwargs["use_pallas"])
     else:
         def run_metrics(k):

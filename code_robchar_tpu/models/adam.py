@@ -347,14 +347,16 @@ class Adam(ControlOptimizer):
                 ("adam", self._objective_statics(), k, self.segment_its,
                  self.cand_per_segment, _MAX_RETRIES),
                 lambda: self._build_segments(k))
-        w, m, v, it, ptr = self._stream
-        its_done = int(it[0])
+        its_done = int(self._stream[3][0])
         restart_due = (its_done + self.segment_its) % _RESTART_EVERY == 0
         if restart_due:
             self._maybe_refill_table(k, shard)
             # a refill may have re-materialised the table (and, on
             # growth, changed its row count → fresh compile via the
-            # shape-keyed jit); re-read after the roll
+            # shape-keyed jit) AND, on the pointer-lift path, rewritten
+            # the stream's ptr leaf — unpack the stream only AFTER the
+            # roll so lifted pointers are not discarded
+        w, m, v, it, ptr = self._stream
         fn = seg_fns[1 if restart_due else 0]
         args = (w, m, v, it, ptr, keys, self._table, self._noise_operand())
         if self.use_fixed_ham:

@@ -175,3 +175,8 @@ def test_bench_baseline_denominator(tmp_path, monkeypatch):
     calib.write_text("{not json")                 # corrupt -> live
     rate, frozen = bench.baseline_denominator(123.4)
     assert (rate, frozen) == (123.4, False)
+
+    # partially written calibration: a null median must also fall back
+    calib.write_text(_json.dumps({"rate_median": None}))
+    rate, frozen = bench.baseline_denominator(123.4)
+    assert (rate, frozen) == (123.4, False)
