@@ -76,6 +76,14 @@ class Adam(ControlOptimizer):
         super().__init__(*args, **kwargs)
         if segment_its is not None:
             self.segment_its = int(segment_its)
+        if self.segment_its <= 0 or _RESTART_EVERY % self.segment_its:
+            # restarts fire on segments that END on a 5000-update
+            # boundary; a segment size that doesn't divide the cadence
+            # would silently skip (or never hit) the reference's
+            # every-5000-update restart (qnewton.py:681-700)
+            raise ValueError(
+                f"segment_its={self.segment_its} must divide the "
+                f"reference restart cadence ({_RESTART_EVERY})")
         if not (self.run_until_told_to_stop and self.landscape_exploration):
             raise Exception("alternative functionality isn't available yet.")
         self.eta = 0.008 if self.Nspin > 7 else 0.03

@@ -186,6 +186,10 @@ class Environment:
         self.adp_var_tol = adp_tol
         self.fid_noisy = fid_noisy
         self.ham_noisy = ham_noisy
+        # stored like the reference (RLreinforce...:25-26) so
+        # reinit_sys_hamiltonian rebuilds the SAME topology/interaction
+        self.topo = topo
+        self.heisenberg_int = heisenberg_int
         self._key = jax.random.key(seed)
 
         self.sys = chain.xx_hamiltonian_real(nspin, topo=topo,
@@ -283,12 +287,16 @@ class Environment:
 
     def reinit_sys_hamiltonian(self):
         """Re-draw the masked perturbed system of transfer-learning mode
-        (RLreinforce...:75-80)."""
+        (RLreinforce...:75-80; the reference rebuilds the drift via
+        system_hamiltonian(), which honours the env's topo and
+        heisenberg_int — so must the re-init)."""
         pert, _ = noise_ops.structured_perturbation_parts(
             self._next(), self.Nspin, 0.1, complex_offdiag=False,
             dtype=self.sys.dtype)
         mask = 1.0 - jnp.eye(self.Nspin, dtype=self.sys.dtype)
-        self.sys = (chain.xx_hamiltonian_real(self.Nspin) + pert) * mask
+        drift = chain.xx_hamiltonian_real(self.Nspin, topo=self.topo,
+                                          heisenberg=self.heisenberg_int)
+        self.sys = (drift + pert) * mask
 
     def change_sys_ham(self, default_variation: float = 0.1):
         """Perturb the system's couplings in place (RLreinforce...:136-143:

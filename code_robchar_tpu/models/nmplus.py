@@ -17,6 +17,12 @@ clipping candidates into the box, matching scipy's bounded NM behavior.
 
 fcall accounting: nfev counts actual objective evaluations (x.nfev in the
 reference, nmplus.py:251-256), multiplied by train_size under fixed-ham.
+Reference quirk preserved: unlike LBFGS/SNOB/PPO (qnewton.py:566/870,
+ppo.py:370), NMPlus.run never consumes adp_func_calls_increment — under
+adaptive shot noise the reference still bills exactly x.nfev, ignoring
+the per-call draw consumption, so nfev here is a pure evaluation count
+in EVERY regime (the in-band draw costs the objective reports are
+deliberately not added).
 """
 
 from __future__ import annotations
@@ -39,7 +45,9 @@ _ALPHA, _GAMMA, _RHO, _SIGMA = 1.0, 2.0, 0.5, 0.5
 class _NMState(NamedTuple):
     simplex: jnp.ndarray   # (d+1, d)
     fvals: jnp.ndarray     # (d+1,)
-    nfev: jnp.ndarray      # billed function calls (incl. draw multipliers)
+    nfev: jnp.ndarray      # billed function calls (x.nfev parity: a pure
+                           # eval count — the reference's NM never bills
+                           # adaptive draws; see module docstring)
     ncall: jnp.ndarray     # OBJECTIVE calls — scipy's maxfev currency
     nit: jnp.ndarray
     key: jax.Array
@@ -62,8 +70,9 @@ def _nm_while(simplex0, key, infid, lower, upper, maxfev, xatol=1e-4,
 
     k0, key = jax.random.split(key)
     f0, c0 = jax.vmap(eval_at)(simplex0, jax.random.split(k0, d + 1))
+    del c0  # in-band draw costs are not billed for NM (module docstring)
     dt = f0.dtype
-    st = _NMState(simplex0, f0, jnp.sum(c0).astype(jnp.int32),
+    st = _NMState(simplex0, f0, jnp.asarray(d + 1, jnp.int32),
                   jnp.asarray(d + 1, jnp.int32),
                   jnp.asarray(0, jnp.int32), key,
                   jnp.asarray(0.0, dt),          # improv starts 0 — the
@@ -167,11 +176,12 @@ def _nm_while(simplex0, key, infid, lower, upper, maxfev, xatol=1e-4,
         # speculative extras computed above are free lockstep work, not
         # billed fcalls.
         d_count = simplex.shape[0] - 1
-        per_eval = cr  # all eval costs are equal (same objective)
+        # per-eval price is 1: the reference's NM bills x.nfev only,
+        # never the adaptive draw consumption (module docstring quirk)
         seq_evals = (1 + jnp.where(fr < f_best, 1, 0)
                      + jnp.where(~use_expand & ~use_reflect, 1, 0)
                      + jnp.where(shrink, d_count, 0)).astype(jnp.int32)
-        nfev = (st.nfev + per_eval * seq_evals).astype(jnp.int32)
+        nfev = (st.nfev + seq_evals).astype(jnp.int32)
         ncall = st.ncall + seq_evals
         best = jnp.min(fvals)
         improv = jnp.where(jnp.isinf(prev_best), best, prev_best - best)
@@ -270,8 +280,7 @@ def _nm_while_batched(simplex0_pool, key, infid_b, lower, upper, maxfev,
         key, kc = jax.random.split(key)
         fs, cs = infid_b(eval_mat.reshape(k * m, d), kc)
         fs = fs.reshape(k, m)
-        cs = cs.reshape(k, m)
-        per_eval = cs[:, 0]  # adaptive in-band draw costs
+        del cs  # in-band draw costs are not billed for NM (docstring)
         fr, fe, fc_out, fc_in = fs[:, 0], fs[:, 1], fs[:, 2], fs[:, 3]
 
         f_best = fvals[:, 0]
@@ -311,16 +320,15 @@ def _nm_while_batched(simplex0_pool, key, infid_b, lower, upper, maxfev,
         # contraction when neither accepts; d+1 re-evals on shrink (billed
         # at decision time — the pending round that actually evaluates
         # them bills nothing).  Refilled lanes bill their d+1 initial
-        # vertex evaluations at their pending round, at the evaluations'
-        # actual in-band cost.
+        # vertex evaluations at their pending round.  Every eval is
+        # priced 1: the reference's NM bills x.nfev only, never the
+        # adaptive draw consumption (module docstring quirk).
         seq_evals = (1 + jnp.where(fr < f_best, 1, 0)
                      + jnp.where(~use_expand & ~use_reflect, 1, 0)
                      + jnp.where(shrink, dp1 - 1, 0)).astype(jnp.int32)
-        bill = (per_eval * seq_evals).astype(jnp.int32)
-        init_bill = jnp.sum(cs[:, :dp1], axis=1).astype(jnp.int32)
         init_pend = pending & billinit
-        nfev = nfev + jnp.where(active, bill,
-                                jnp.where(init_pend, init_bill, 0))
+        nfev = nfev + jnp.where(active, seq_evals,
+                                jnp.where(init_pend, dp1, 0))
         ncall = ncall + jnp.where(active, seq_evals,
                                   jnp.where(init_pend, dp1, 0))
 

@@ -592,19 +592,31 @@ class PPO_en:
             def pi_body(carry):
                 p, opt, i, _ = carry
                 (loss, kl), g = jax.value_and_grad(pi_loss, has_aux=True)(p)
-                updates, opt = pi_tx.update(g, opt, p)
-                p = optax.apply_updates(p, updates)
-                return p, opt, i + 1, kl
+                # the reference checks KL at the CURRENT params and
+                # `break`s BEFORE backward()/step() (ppo.py:303-314): the
+                # round that trips the gate must leave params untouched,
+                # so the update computed this round is applied only when
+                # the gate holds
+                ok = kl <= 1.5 * target_kl
+                updates, opt2 = pi_tx.update(g, opt, p)
+                p2 = optax.apply_updates(p, updates)
+                keep = lambda a, b: jnp.where(ok, b, a)
+                p = jax.tree.map(keep, p, p2)
+                opt = jax.tree.map(keep, opt, opt2)
+                return p, opt, i + ok.astype(jnp.int32), kl
 
             def pi_cond(carry):
                 _, _, i, kl = carry
                 return (i < train_pi_iters) & (kl <= 1.5 * target_kl)
 
-            # match the reference's gate order: KL is checked before each
-            # step using the *current* params (ppo.py:303-311)
+            # kl0 = 0 always passes the gate, so the first body round
+            # runs unconditionally, exactly like the reference's first
+            # for-iteration; pi_iters counts APPLIED updates (the break
+            # round contributes 0).  kl0 is derived from a real pi_loss
+            # eval only to pin the carry dtype under either x64 regime.
             _, kl0 = pi_loss(params)
             params, pi_opt, pi_iters, kl = jax.lax.while_loop(
-                pi_cond, pi_body, (params, pi_opt, 0, kl0))
+                pi_cond, pi_body, (params, pi_opt, 0, kl0 * 0.0))
 
             if not use_fused_critic:
                 def v_loss(p):
@@ -780,8 +792,12 @@ class PPO_en:
             true = np.asarray(out.true_fids).reshape(-1)
             stores = np.asarray(out.stores).reshape(-1, self.nspin + 1)
             fc = np.asarray(out.fcalls).reshape(-1)
-            iterations += int(np.asarray(out.pi_iters).sum()) + \
-                train_v_iters * e
+            # the reference's iterations currency counts ONLY the value
+            # loop — `iterations += train_v_iters` per epoch
+            # (ppo.py:485); the pi loop's count is never added (its
+            # StopIter logging is commented out).  One epoch here is e
+            # reference runs in lockstep.
+            iterations += train_v_iters * e
 
             cum = funcalls + np.cumsum(fc)
 

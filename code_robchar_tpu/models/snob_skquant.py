@@ -81,7 +81,6 @@ class SNOBSkquant(ControlOptimizer):
         self.records = rr.records
         top = TopControllers(self.save_topc)
         funccalls = 0
-        completion = False
         start = rr.start_time
 
         def infidelity(x):
@@ -121,6 +120,12 @@ class SNOBSkquant(ControlOptimizer):
                     if self.save:
                         self.save_record()
                     return fi
+                # the wall-clock fail-safe guards BOTH stop modes, like
+                # base.run's deadline.check (a `continue` above it would
+                # leave threshold-mode runs unbounded)
+                if time.time() - start > self.timeout:
+                    print(f"timed out! {self.filename}")
+                    raise AssertionError("timeout")
                 continue
 
             crit = (fi >= self.fid_threshold
@@ -131,13 +136,16 @@ class SNOBSkquant(ControlOptimizer):
                 if self.landscape_exploration:
                     top.offer(fi, x.tolist())
                 save_aux()
+            # budget gate on THIS rep's billing — returning only on the
+            # next rep would run one extra full SNOBFIT restart past the
+            # budget (base.run returns as soon as billing crosses it).
+            # None budget = run on the wall-clock timeout alone, like
+            # base.run (base.py uses `or np.inf` for the same gate)
+            completion = (funccalls + 1 >=
+                          (self.run_until_completion_its or np.inf))
             if completion:
                 return rr.record["best_fid"]
             if time.time() - start > self.timeout:
                 print(f"timed out! {self.filename}")
                 raise AssertionError("timeout")
-            # None budget = run on the wall-clock timeout alone, like
-            # base.run (base.py uses `or np.inf` for the same gate)
-            completion = (funccalls + 1 >=
-                          (self.run_until_completion_its or np.inf))
         return rr.record["best_fid"]

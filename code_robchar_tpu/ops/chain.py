@@ -13,7 +13,11 @@ README.md:6 of the reference: the paper does *not* enable it).
 
 Controls are diagonal projectors ``C_k = e_k e_k^T`` (qnewton.py:153-159);
 because they are diagonal we never materialise them — adding a bias vector
-``x`` to a Hamiltonian is ``H + diag(x)`` (see ``add_bias``).
+``x`` to a Hamiltonian is ``H + diag(x)``.  ``add_bias`` states that
+contract as a callable; the hot paths (ops/propagate.py, ops/realform.py,
+models/base.py) inline the same expression in their own batch layouts
+rather than calling it, so a change to bias-add semantics must be applied
+at those sites too.
 """
 
 from __future__ import annotations
@@ -75,7 +79,9 @@ def control_projectors(n: int, dtype=None) -> jnp.ndarray:
     """Stacked diagonal projectors C[k] = e_k e_k^T, shape (n, n, n).
 
     Provided for API parity with the reference's ``controls()``
-    (qnewton.py:153-159); the compute path uses ``add_bias`` instead.
+    (qnewton.py:153-159); the compute path never materialises the
+    projectors — it inlines the equivalent diag-add (``add_bias`` states
+    the contract).
     """
     if dtype is None:
         dtype = config.complex_dtype()
@@ -85,6 +91,9 @@ def control_projectors(n: int, dtype=None) -> jnp.ndarray:
 
 
 def add_bias(h: jnp.ndarray, biases: jnp.ndarray) -> jnp.ndarray:
-    """H + sum_l x_l C_l  ==  H + diag(x)  (qnewton.py:177-179)."""
+    """H + sum_l x_l C_l  ==  H + diag(x)  (qnewton.py:177-179).
+
+    API-parity/specification helper: the hot paths inline this
+    expression in their own batch layouts (module docstring)."""
     n = h.shape[-1]
     return h + jnp.eye(n, dtype=h.dtype) * biases[..., None, :].astype(h.dtype)

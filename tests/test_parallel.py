@@ -156,7 +156,7 @@ def test_adam_mesh_kwarg_public_run():
     opt = Adam(4, 0, 2, testing=True, fid_threshold=0.0,
                run_until_told_to_stop=True, run_until_completion_its=500,
                landscape_exploration=True, save_topc=8,
-               restart_batch=16, segment_its=16, mesh=mesh)
+               restart_batch=16, segment_its=20, mesh=mesh)
     best = opt.run()
     assert best is not None and 0 <= best <= 1 + 1e-9
     assert opt.record["func_calls"] >= 500

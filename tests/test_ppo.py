@@ -198,3 +198,36 @@ def test_ppo_fused_fallback_is_signalled(capsys):
     ppo4._signal_fused_fallbacks()
     assert "fused rollout disabled" not in capsys.readouterr().out
     assert ppo4.fused_rollout_fallback_reasons() == []
+
+
+def test_ppo_kl_gate_rejects_tripping_update():
+    """The reference checks KL at the current params and breaks BEFORE
+    stepping (ppo.py:303-314): the round that trips the gate must leave
+    params untouched.  With target_kl ~ 0 the gate trips at the first
+    post-update KL, so the epoch must apply exactly ONE pi update and
+    land on the same params as an explicit train_pi_iters=1 run (same
+    seed => identical rollout)."""
+    import jax
+    import numpy as np
+
+    def one(pi_iters, tkl):
+        ppo = PPO_en(4, 0, 2, testing=True, num_agents=4, seed=7,
+                     ham_noisy=True, fused_critic=False,
+                     fused_rollout=False)
+        fn = ppo._build_epoch(steps_per_epoch=8, clip_ratio=0.2,
+                              pi_lr=3e-3, vf_lr=1e-3, max_ep_len=1000,
+                              train_pi_iters=pi_iters, train_v_iters=1,
+                              target_kl=tkl)
+        st = jax.vmap(ppo._init_agent)(
+            jax.random.split(jax.random.key(5), 4))
+        return fn(st)
+
+    st_gate, out_gate = one(5, 1e-9)   # gate trips after update 1
+    st_one, _ = one(1, 1e9)           # exactly 1 update, gate never trips
+
+    # the tripping round applied no update: counted 1, not 2
+    np.testing.assert_array_equal(np.asarray(out_gate.pi_iters),
+                                  np.ones(4, dtype=np.int32))
+    for a, b in zip(jax.tree.leaves(st_gate.params),
+                    jax.tree.leaves(st_one.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -49,6 +49,23 @@ def test_env_reference_surface():
     assert env.input_state()[0, 0] == 1 and env.output_state()[2, 2] == 1
 
 
+def test_env_reinit_preserves_topology():
+    """reinit_sys_hamiltonian rebuilds the drift via the env's OWN
+    topology (RLreinforce...:75-80 calls system_hamiltonian(), which
+    reads self.topo): a ring env must keep its corner couplings after
+    re-init.  (heisenberg's diagonal is always zeroed by the mask — the
+    reference's own quirk — so topo is the observable knob.)"""
+    env = Environment(5, 0, 2, np.zeros(5), topo="ring",
+                      transfer_learning=True)
+    sys0 = np.asarray(env.sys)
+    assert sys0[0, 4] != 0 and sys0[4, 0] != 0      # ring corners present
+    env.reinit_sys_hamiltonian()
+    sys1 = np.asarray(env.sys)
+    # perturbations are O(0.1); the unit ring coupling must survive
+    assert abs(sys1[0, 4]) > 0.5 and abs(sys1[4, 0]) > 0.5
+    assert np.allclose(np.diag(sys1), 0)            # mask quirk preserved
+
+
 def test_env_fixed_ham_averaged_propagator():
     env = Environment(3, 0, 2, np.zeros(3), use_fixed_ham=True,
                       opt_train_size=5)
