@@ -52,7 +52,15 @@ class IndividualContComparisons(MCDataSim):
                                noise_keys=None, fid_thres: float = 0.95,
                                figname: str = "fig3"):
         """Grid of log-RIM heatmaps, one panel per (algo, sigma_train)
-        (generate_fig3.py:16-141)."""
+        (generate_fig3.py:16-141).
+
+        ``fid_thres`` is accepted-but-unused BY DESIGN (reference parity):
+        the reference's heatmap path filters top-k with ``fid_thres=None``
+        and assigns its thresholded variant to a dead local
+        (generate_fig3.py:105-108, ``wd_data_c2`` never plotted), so the
+        rendered heatmaps are the unthresholded top-k everywhere.  Use
+        ``plot_fig3e(best_and_gt_fid_thres=True)`` for the curve that
+        actually consumes the threshold."""
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt

@@ -37,16 +37,23 @@ class KTRConsistency(MCDataSim):
 
     # ------------------------------------------------------------ kernels
 
-    def _vn_gate(self, wd_ranks, tolerance: int = 3) -> None:
-        """VN/Bartels randomness pre-test on detrended ranks; failures are
-        tolerated up to ``tolerance`` and counted (reference :83-88)."""
+    #: failures tolerated per tau-matrix row before the reference's
+    #: warning fires (generate_fig4...:102-114 sets inv_tol = 1)
+    _VN_INV_TOL = 1
+
+    def _vn_gate(self, wd_ranks) -> bool:
+        """VN/Bartels randomness pre-test on detrended ranks (reference
+        :83-88).  Returns whether the test passed; failures accumulate in
+        ``self.vn_failures`` (the caller surfaces the reference's
+        exceeded-tolerance warning per tau-matrix row)."""
         try:
             ok, _ = vn_test(detrend(np.asarray(wd_ranks, float)),
                             bartels=True)
-            if not ok:
-                self.vn_failures += 1
         except ValueError:
-            pass  # too few observations for the asymptotic test
+            return True  # too few observations for the asymptotic test
+        if not ok:
+            self.vn_failures += 1
+        return bool(ok)
 
     def pairwise_taus(self, rim_tensor: np.ndarray,
                       alpha: float = 0.05) -> np.ndarray:
@@ -57,11 +64,19 @@ class KTRConsistency(MCDataSim):
         nlevels = rim_tensor.shape[0]
         out = np.zeros((nlevels, nlevels))
         for j in range(nlevels):
-            r = alpha * (rim_tensor[j].max() - rim_tensor[j].min())
-            ref_ranks = _clustered_with_radius(rim_tensor[j], r)
+            # clustered_ranks derives the SAME absolute radius
+            # alpha * (max - min) internally (reference :97-98)
+            ref_ranks = clustered_ranks(rim_tensor[j], alpha)
+            invalids, printed = 0, False
             for i in range(nlevels):
                 wd_ranks = get_ranks(rim_tensor[i]) + 1
-                self._vn_gate(wd_ranks)
+                if not self._vn_gate(wd_ranks):
+                    invalids += 1
+                if invalids == self._VN_INV_TOL and not printed:
+                    # reference :88/:114 — the taus still render; the
+                    # pre-test only warns
+                    print("Number of VN tests exceeded tolerance")
+                    printed = True
                 out[j, i] = kendalltau(ref_ranks, wd_ranks).correlation
         return out
 
@@ -197,22 +212,3 @@ class KTRConsistency(MCDataSim):
         return path
 
 
-def _clustered_with_radius(values: np.ndarray, radius: float) -> np.ndarray:
-    """Clustered ranks with an absolute radius (reference
-    get_ranks_clustered_little, :146-164): walk the sorted values; a value
-    farther than ``radius`` from the current cluster seed opens a new
-    rank."""
-    values = np.asarray(values, float)
-    order = np.argsort(values)
-    srt = values[order]
-    ranks_sorted = np.zeros(len(srt))
-    rank = 0
-    seed = srt[0] if len(srt) else 0.0
-    for idx in range(1, len(srt)):
-        if srt[idx] - seed > radius:
-            rank += 1
-            seed = srt[idx]
-        ranks_sorted[idx] = rank
-    out = np.zeros(len(srt))
-    out[order] = ranks_sorted
-    return out

@@ -106,6 +106,8 @@ class ARIMGenerator(MCDataSim):
         fig = ax.get_figure()
         path = os.path.join(self.fig_dir, f"{figname}.pdf")
         fig.savefig(path, bbox_inches="tight")
+        import matplotlib.pyplot as plt
+        plt.close(fig)   # batch regeneration must not leak figures
         return path
 
 

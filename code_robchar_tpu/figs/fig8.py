@@ -89,6 +89,12 @@ class NStochOpt(MCDataSim):
         # (same checkpoint COUNT, different spacing) invalidates the
         # cache instead of silently mislabeling the x-axis
         keyfile = save + ".fckeys.json"
+        # the sidecar also pins the COLUMN config (noise grid, bootreps,
+        # seed): a tensor cached under a different grid must recompute,
+        # not silently relabel its columns
+        col_sig = {"noises": [float(x) for x in np.asarray(self.noises)],
+                   "bootreps": int(self.bootreps),
+                   "seed": int(self.seed)}
         new_keys = None
         if cdict is not None and algo in cdict and nlvl in cdict[algo]:
             fcall_dict = {k: v for k, v in cdict[algo][nlvl].items()
@@ -99,7 +105,14 @@ class NStochOpt(MCDataSim):
             if os.path.exists(keyfile):
                 import json
                 with open(keyfile) as f:
-                    cached_keys = json.load(f)
+                    sidecar = json.load(f)
+                if isinstance(sidecar, dict):
+                    cached_keys = sidecar.get("fckeys", [])
+                    if sidecar.get("cols") != col_sig:
+                        stale = True    # different noise grid/bootreps
+                else:
+                    # legacy list-format sidecar: row keys only
+                    cached_keys = sidecar
                 if new_keys is not None and \
                         [str(k) for k in new_keys] != \
                         [str(k) for k in cached_keys]:
@@ -130,7 +143,8 @@ class NStochOpt(MCDataSim):
                         "if checkpoint spacing may have changed.",
                         stacklevel=2)
                     with open(keyfile, "w") as f:
-                        json.dump([str(k) for k in new_keys], f)
+                        json.dump({"fckeys": [str(k) for k in new_keys],
+                                   "cols": col_sig}, f)
                 return arims, new_keys
         if new_keys is None:
             raise KeyError(f"algo {algo!r} not in controller dict")
@@ -150,7 +164,8 @@ class NStochOpt(MCDataSim):
             pickle.dump(arims, f)
         import json
         with open(keyfile, "w") as f:
-            json.dump([str(k) for k in new_keys], f)
+            json.dump({"fckeys": [str(k) for k in new_keys],
+                       "cols": col_sig}, f)
         return arims, new_keys
 
     # -------------------------------------------------------------- plots

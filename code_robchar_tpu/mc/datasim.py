@@ -160,8 +160,12 @@ class MCDataSim:
     def get_fid_dists(self, training_noise: Optional[str] = None,
                       noises: Optional[np.ndarray] = None,
                       algoname=None) -> Dict:
-        """Fidelity-distribution tensors {algo: (L, C, B) nested lists},
-        loaded from the .mc cache or computed on device."""
+        """Fidelity-distribution tensors {algo: (L, C, B) ndarray},
+        loaded from the .mc cache or computed on device.  Values stay
+        ndarrays in memory (every consumer re-wraps with np/jnp.asarray);
+        the nested-list JSON form exists only on disk, written by the
+        native codec at the dump boundary — converting a paper-scale
+        ~200 MB tensor to Python lists per call was pure churn."""
         algos = [algoname] if isinstance(algoname, str) else self.algos
         noises = self.noises if noises is None else np.asarray(noises)
         if training_noise is None:
@@ -170,8 +174,7 @@ class MCDataSim:
         cache = self.get_mcname(training_noise, noises)
         if os.path.exists(cache):
             # native codec: the .mc bodies are tens of MB of JSON floats
-            simdict = {k: v.tolist()
-                       for k, v in native_io.load_mc(cache).items()}
+            simdict = dict(native_io.load_mc(cache))
         else:
             simdict = {}
         for algo in algos:
@@ -200,7 +203,7 @@ class MCDataSim:
         fids = np.array(fids)  # writable host copy
         fids[:, ~valid, :] = np.nan  # NaN-pad missing controllers
 
-        allalgoallfids[algoname] = fids.tolist()
+        allalgoallfids[algoname] = fids
         native_io.dump_mc(
             {k: np.asarray(v) for k, v in allalgoallfids.items()},
             io.mc_cache_name(self.get_controller_name, training_noise,
@@ -380,6 +383,10 @@ class MCDataSim:
             rim0 = np.array(wd[rim_key])[0]
             keep = self.get_ranks(rim0) <= self.topk - 1
             pts = np.asarray(emb[slot])
+            # short stores are padded at the FRONT of their slot
+            # (_controller_slots), so the real controllers — the ones
+            # rim0/keep rank — are the trailing len(rim0) rows
+            pts = pts[len(pts) - len(rim0):]
             keep = keep[:len(pts)]
             label = alg if alg == "lbfgs" else \
                 rf"{alg} $\sigma_{{train}}$={nk}"
@@ -392,18 +399,43 @@ class MCDataSim:
             return fig_path
         return fig
 
+    def _controller_slots(self):
+        """Per-(algo, sigma_train) controller matrices in tsneconts'
+        names2nkeys order, each front-zero-padded to ``numcontrollers``
+        (the reference's lbfgs padding convention, mcsim.py:256-259,
+        extended to ANY short store so the slot grid stays rectangular
+        — a 50-controller ppo store must not shift every later slot's
+        grouping).  Returns [(n_real, padded (numcontrollers, d)), ...]."""
+        slots = []
+        for alg in self.controllers:
+            keys = ([str(self.Nspin)] if alg == "lbfgs"
+                    else list(self.controllers[alg]))
+            for k in keys:
+                conts = np.array(self.controllers[alg][k]["controller"])
+                n_real = len(conts)
+                if self.numcontrollers - n_real > 0:
+                    conts = np.pad(conts,
+                                   [(self.numcontrollers - n_real, 0),
+                                    (0, 0)])
+                slots.append((n_real, conts[:self.numcontrollers]))
+        return slots
+
     def tsne_embedding(self, perplexity: float = 50,
                        n_iter: int = 500) -> np.ndarray:
         """2-D t-SNE embedding of the pooled controller sets, cached to
-        .tsne (mcsim.py:277-289).  Host-side (sklearn), analysis-only."""
+        .tsne (mcsim.py:277-289).  Host-side (sklearn), analysis-only.
+        Every (algo, sigma_train) slot is padded to ``numcontrollers``
+        rows (see _controller_slots), so the returned tensor is always
+        (slots, numcontrollers, 2) regardless of short stores."""
         cache = self.get_controller_name + ".tsne"
         if os.path.exists(cache):
             return np.asarray(self.loadsimdata(cache))
         from sklearn.manifold import TSNE
-        cs = self.get_all_algo_controllers()
+        slots = self._controller_slots()
+        cs = np.concatenate([c for _, c in slots], axis=0)
         emb = TSNE(n_components=2, perplexity=min(perplexity, len(cs) - 1),
                    max_iter=n_iter).fit_transform(cs)
-        emb = emb.reshape(len(cs) // self.numcontrollers, -1, 2)
+        emb = emb.reshape(len(slots), self.numcontrollers, 2)
         io.dump_json(emb.tolist(), cache)
         return emb
 

@@ -327,7 +327,10 @@ def characterise(h0, controllers, noises, key, bootreps: int, in_spin: int,
     from code_robchar_tpu import config
     config.absorb_relay_handshake()   # overlaps the first compile
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        # the Mosaic kernel lowers only on TPU backends (incl. the axon
+        # relay, which registers as "tpu"); GPU/METAL backends must take
+        # the XLA lanes path, not crash in pltpu lowering
+        use_pallas = jax.default_backend() == "tpu"
     controllers = jnp.asarray(controllers)
     if not return_fids:
         if mesh is not None:

@@ -118,7 +118,7 @@ def make_exact_gradient_batch(spec: ObjectiveSpec):
     the XLA lanes kernel (realform.infidelity_and_gradient_sym_lanes)."""
     h0r = jnp.real(spec.h0)
     n = h0r.shape[-1]
-    use_pallas = jax.default_backend() not in ("cpu",)
+    use_pallas = jax.default_backend() == "tpu"  # Mosaic: TPU only, not GPU
 
     def f(xs):
         if use_pallas:
@@ -137,7 +137,7 @@ def _make_fid_lanes(n: int, in_spin: int, out_spin: int):
     kernel — one fused Pallas launch on TPU backends (any width:
     pick_tile pads to a Mosaic-legal tile), the XLA lanes kernel on
     CPU."""
-    use_pallas = jax.default_backend() not in ("cpu",)
+    use_pallas = jax.default_backend() == "tpu"  # Mosaic: TPU only, not GPU
 
     def fid_lanes(a, t):
         if use_pallas:

@@ -217,7 +217,7 @@ class PPO_en:
         used on a Pallas-capable backend (same `_fused_rollout_gate`
         predicate the epoch dispatch consumes).  Empty list = the fused
         path runs."""
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = jax.default_backend() == "tpu"  # Mosaic: TPU only, not GPU
         n_dev = (self.mesh.devices.size
                  if self.mesh is not None and self.num_agents > 1 else 1)
         local = max(1, self.num_agents // n_dev)
@@ -234,7 +234,7 @@ class PPO_en:
         silent unless the user forced fused_rollout=True."""
         if not self.verbose:
             return
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = jax.default_backend() == "tpu"  # Mosaic: TPU only, not GPU
         wanted = (self.fused_rollout if self.fused_rollout is not None
                   else use_pallas)
         if not wanted:
@@ -348,7 +348,7 @@ class PPO_en:
         # One fused Pallas kernel per physics call on TPU backends (the
         # XLA lanes path costs ~10^2 tiny-fusion launches per rotation
         # chain; launch overhead dominates a 500-step sequential scan)
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = jax.default_backend() == "tpu"  # Mosaic: TPU only, not GPU
         # The value loop is the epoch's cost center (~340 of ~415 ms at
         # 512 agents): 200 full-batch Adam steps whose activations and
         # moments round-trip HBM every iteration under XLA.  The fused

@@ -145,6 +145,21 @@ def test_fig8_scaling(tmp_path):
     assert not any("predates the .fckeys.json" in str(w.message)
                    for w in wlist2)
 
+    # the sidecar also pins the COLUMN config: the same pickle read under
+    # a different noise grid must recompute, not silently relabel its
+    # columns (review round 4)
+    y3 = NStochOpt("pipeline_scaling", Nspin=N, inspin=0, outspin=2,
+                   noises=NOISES[:3], bootreps=4, numcontrollers=C,
+                   filemarker=".le", fig_dir=str(tmp_path / "figs"),
+                   global_experiments_directory=str(
+                       tmp_path / "experiments"))
+    arims5, keys5 = y3.get_arims("ppo", nlvl="0.01", marker="",
+                                 cdict={"ppo": {"0.01": ckpt2}})
+    assert arims5.shape == (2, 3)          # recomputed on the new grid
+    assert keys5 == ["500000", "1000000"]
+    sidecar = json.loads(open(save + ".fckeys.json").read())
+    assert sidecar["cols"]["noises"] == [float(x) for x in NOISES[:3]]
+
 
 def test_fig1_cdf_area(tmp_path):
     rng = np.random.default_rng(1)
