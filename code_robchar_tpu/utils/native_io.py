@@ -5,7 +5,7 @@ lists (mcsim.py:457-459 schema); CPython's json is the bottleneck of the
 cache layer at paper scale.  This module auto-builds libmccodec.so with the
 system toolchain on first use and exposes
 
-    encode_tensor(np.ndarray)  -> str     (JSON nested lists, %.17g)
+    encode_tensor(np.ndarray)  -> str     (JSON nested lists, shortest round-trip)
     decode_tensor(str)         -> np.ndarray
     dump_mc(dict[str, array], path) / load_mc(path)
 
@@ -74,12 +74,11 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def encode_tensor(arr: np.ndarray) -> str:
-    """numpy array -> JSON nested-list text (native fast path)."""
-    lib = _load()
-    arr = np.ascontiguousarray(arr, dtype=np.float64)
-    if lib is None or arr.ndim < 1 or arr.ndim > 8 or arr.size == 0:
-        return json.dumps(arr.tolist())
+class NativeCodecError(RuntimeError):
+    """The C codec rejected the input (negative rc from mccodec.cpp)."""
+
+
+def _encode_native(arr: np.ndarray, lib: ctypes.CDLL) -> str:
     shape = (ctypes.c_longlong * 8)(*arr.shape, *([0] * (8 - arr.ndim)))
     out = ctypes.c_char_p()
     ln = ctypes.c_longlong()
@@ -87,18 +86,14 @@ def encode_tensor(arr: np.ndarray) -> str:
         arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), shape,
         arr.ndim, ctypes.byref(out), ctypes.byref(ln))
     if rc != 0:
-        return json.dumps(arr.tolist())
+        raise NativeCodecError(f"rc_encode_array rc={rc}")
     try:
         return ctypes.string_at(out, ln.value).decode()
     finally:
         lib.rc_free(out)
 
 
-def decode_tensor(text: str) -> np.ndarray:
-    """JSON nested-list text -> numpy array (native fast path)."""
-    lib = _load()
-    if lib is None:
-        return np.asarray(json.loads(text), dtype=float)
+def _decode_native(text: str, lib: ctypes.CDLL) -> np.ndarray:
     shape = (ctypes.c_longlong * 8)()
     ndim = ctypes.c_int()
     data = ctypes.POINTER(ctypes.c_double)()
@@ -106,13 +101,40 @@ def decode_tensor(text: str) -> np.ndarray:
     rc = lib.rc_decode_array(text.encode(), shape, ctypes.byref(ndim),
                              ctypes.byref(data), ctypes.byref(count))
     if rc != 0:
-        return np.asarray(json.loads(text), dtype=float)
+        raise NativeCodecError(f"rc_decode_array rc={rc}")
     try:
         arr = np.ctypeslib.as_array(data,
                                     shape=(count.value,)).copy()
     finally:
         lib.rc_free(ctypes.cast(data, ctypes.c_void_p))
     return arr.reshape(tuple(shape[i] for i in range(ndim.value)))
+
+
+def encode_tensor(arr: np.ndarray) -> str:
+    """numpy array -> JSON nested-list text (native fast path)."""
+    lib = _load()
+    arr = np.ascontiguousarray(arr, dtype=np.float64)
+    if lib is None or arr.ndim < 1 or arr.ndim > 8 or arr.size == 0:
+        return json.dumps(arr.tolist())
+    try:
+        return _encode_native(arr, lib)
+    except NativeCodecError:
+        return json.dumps(arr.tolist())
+
+
+def decode_tensor(text: str) -> np.ndarray:
+    """JSON nested-list text -> numpy array (native fast path).
+
+    Falls back to stdlib json only when the codec rejects the input
+    (non-rectangular / non-numeric), mirroring what np.asarray of the
+    json value would reject too."""
+    lib = _load()
+    if lib is None:
+        return np.asarray(json.loads(text), dtype=float)
+    try:
+        return _decode_native(text, lib)
+    except NativeCodecError:
+        return np.asarray(json.loads(text), dtype=float)
 
 
 #: binary sidecar for .mc caches: alongside the canonical JSON, write a
@@ -130,8 +152,12 @@ def _sidecar_path(path: str) -> str:
 
 def dump_mc(tensors: Dict[str, np.ndarray], path: str) -> None:
     """Write the .mc envelope {algo: nested lists} with native-encoded
-    tensor bodies; byte-compatible with json.dump of the same dict.
-    Also writes the binary sidecar (see SIDECAR)."""
+    tensor bodies.  The output is valid JSON with the reference schema
+    (mcsim.py:457-459) and every float round-trips bit-exactly, but the
+    number RENDERING is std::to_chars shortest round-trip (e.g. 5.0
+    renders as '5' where Python repr gives '5.0') —
+    parse-compatible, not byte-identical, with a json.dump of the same
+    dict.  Also writes the binary sidecar (see SIDECAR)."""
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)

