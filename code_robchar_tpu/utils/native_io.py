@@ -78,7 +78,7 @@ class NativeCodecError(RuntimeError):
     """The C codec rejected the input (negative rc from mccodec.cpp)."""
 
 
-def _encode_native(arr: np.ndarray, lib: ctypes.CDLL) -> str:
+def _encode_native_bytes(arr: np.ndarray, lib: ctypes.CDLL) -> bytes:
     shape = (ctypes.c_longlong * 8)(*arr.shape, *([0] * (8 - arr.ndim)))
     out = ctypes.c_char_p()
     ln = ctypes.c_longlong()
@@ -88,9 +88,13 @@ def _encode_native(arr: np.ndarray, lib: ctypes.CDLL) -> str:
     if rc != 0:
         raise NativeCodecError(f"rc_encode_array rc={rc}")
     try:
-        return ctypes.string_at(out, ln.value).decode()
+        return ctypes.string_at(out, ln.value)
     finally:
         lib.rc_free(out)
+
+
+def _encode_native(arr: np.ndarray, lib: ctypes.CDLL) -> str:
+    return _encode_native_bytes(arr, lib).decode()
 
 
 def _decode_native(text: str, lib: ctypes.CDLL) -> np.ndarray:
@@ -161,16 +165,27 @@ def dump_mc(tensors: Dict[str, np.ndarray], path: str) -> None:
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
+    lib = _load()
     tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write("{")
+    # binary mode: tensor bodies come back from the codec as ASCII bytes;
+    # writing them directly skips a ~200 MB bytes->str decode per paper
+    # tensor (the file contents are identical)
+    with open(tmp, "wb") as f:
+        f.write(b"{")
         for i, (name, arr) in enumerate(tensors.items()):
             if i:
-                f.write(", ")
-            f.write(json.dumps(name))
-            f.write(": ")
-            f.write(encode_tensor(np.asarray(arr)))
-        f.write("}")
+                f.write(b", ")
+            f.write(json.dumps(name).encode())
+            f.write(b": ")
+            a = np.ascontiguousarray(np.asarray(arr), dtype=np.float64)
+            if lib is None or a.ndim < 1 or a.ndim > 8 or a.size == 0:
+                f.write(json.dumps(a.tolist()).encode())
+            else:
+                try:
+                    f.write(_encode_native_bytes(a, lib))
+                except NativeCodecError:
+                    f.write(json.dumps(a.tolist()).encode())
+        f.write(b"}")
     os.replace(tmp, path)
     if SIDECAR:
         sc_tmp = _sidecar_path(path) + ".tmp.npz"
