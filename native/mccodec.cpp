@@ -63,6 +63,11 @@ struct Parser {
 int parse_array(Parser& ps, std::vector<double>& out,
                 std::vector<long long>& shape, int depth,
                 int& leaf_depth) {
+    // ndim is capped at 8 by the ABI; guard at entry so a hostile /
+    // corrupted deep nest returns an error instead of exhausting the
+    // C stack (the post-parse shape.size() check never runs if the
+    // recursion itself crashes)
+    if (depth >= 8) return -5;
     ps.skip_ws();
     if (ps.p >= ps.end || *ps.p != '[') return -1;
     ++ps.p;

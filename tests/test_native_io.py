@@ -65,6 +65,22 @@ def test_native_decoder_rejects_mixed_rank(rng):
             native_io._decode_native(bad, lib)
 
 
+@pytest.mark.quick
+def test_native_decoder_bounds_nest_depth():
+    """A corrupted / hostile body nested deeper than the 8-dim ABI cap
+    must come back as an error (rc=-5), not a C-stack overflow: the
+    post-parse shape.size() check can never run if the recursion itself
+    crashes the process (and the json fallback would then never engage)."""
+    lib = native_io._load()
+    for depth in (9, 64, 100_000):
+        bad = "[" * depth + "1" + "]" * depth
+        with pytest.raises(native_io.NativeCodecError):
+            native_io._decode_native(bad, lib)
+    # exactly 8 dims still parses
+    ok = native_io._decode_native("[" * 8 + "1" + "]" * 8, lib)
+    assert ok.shape == (1,) * 8
+
+
 def test_interop_with_python_json(rng):
     x = rng.uniform(size=(4, 6))
     # native-encoded text parses with stdlib json to the same values
