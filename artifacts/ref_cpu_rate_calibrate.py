@@ -37,12 +37,22 @@ from bench import reference_cpu_rate  # noqa: E402
 
 def main(windows: int = 20, samples: int = 2000, gap_s: float = 5.0):
     rates = []
+    loads = []
     for w in range(windows):
+        # Load sentinel (VERDICT r4 weak #1): the round-4 calibration
+        # came out 1.8x SLOWER than the live rates measured later in
+        # bench runs, i.e. it was likely taken under hidden load.
+        # Recording the 1-minute loadavg around every window makes a
+        # contaminated calibration self-evident in the artifact.
+        load_before = os.getloadavg()[0]
         # reference_cpu_rate itself takes the median of 3 sub-windows
         med, lo, hi = reference_cpu_rate(n=7, samples=samples)
+        load_after = os.getloadavg()[0]
         rates.append(med)
+        loads.append(max(load_before, load_after))
         print(f"window {w + 1}/{windows}: {med:.1f} Hams/s "
-              f"(sub-window range {lo:.1f}-{hi:.1f})", flush=True)
+              f"(sub-window range {lo:.1f}-{hi:.1f}, "
+              f"loadavg {load_before:.2f}->{load_after:.2f})", flush=True)
         if w + 1 < windows:
             time.sleep(gap_s)
 
@@ -57,12 +67,16 @@ def main(windows: int = 20, samples: int = 2000, gap_s: float = 5.0):
         "samples_per_window": samples,
         "gap_seconds": gap_s,
         "n": 7,
+        "loadavg_per_window": [round(x, 3) for x in loads],
+        "loadavg_max": float(max(loads)),
         "method": "bench.reference_cpu_rate (structured perturbation + "
                   "scipy expm + fidelity per Hamiltonian, sequential, "
                   "noise_model.py:98-109 equivalent)",
-        "host_note": "measured on the idle round-4 container host "
-                     "(1 CPU); bench.py divides by rate_median so "
-                     "vs_baseline is comparable across rounds",
+        "host_note": "measured on an idle container host (1 CPU) with a "
+                     "per-window loadavg sentinel; bench.py divides by "
+                     "max(rate_median, live rate) so vs_baseline can "
+                     "never be flattered by a depressed calibration "
+                     "(VERDICT r4 weak #1)",
         "utc_date": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
     }
     path = os.path.join(os.path.dirname(__file__),

@@ -9,12 +9,13 @@ calls, mcsim.py:422-460).
 
 vs_baseline = our Hamiltonians/sec divided by the reference's
 single-process scipy-expm Hamiltonians/sec (the reference has no
-published numbers — BASELINE.md).  The denominator is the FROZEN
-idle-host calibration in artifacts/ref_cpu_rate_calib.json when
-present (the live 3-window rate wobbles 2-4x with ambient load on a
-1-CPU host, which made vs_baseline incomparable across rounds —
-VERDICT r3); the live rate is still measured and printed as
-reference_cpu_rate_live.
+published numbers — BASELINE.md).  The denominator is the
+CONSERVATIVE max of the frozen idle-host calibration
+(artifacts/ref_cpu_rate_calib.json) and the live rate measured in
+this same run — the frozen side keeps vs_baseline comparable across
+rounds when ambient load depresses the live rate (VERDICT r3), the
+live side guarantees a stale/contaminated calibration can never
+flatter the multiplier (VERDICT r4 weak #1).  Both sides are printed.
 
 Prints exactly one JSON line.
 """
@@ -63,17 +64,29 @@ def reference_cpu_rate(n: int = 7, samples: int = 300):
 
 
 def baseline_denominator(live_rate: float):
-    """vs_baseline denominator: the frozen idle-host calibration
-    (artifacts/ref_cpu_rate_calib.json, produced by
-    artifacts/ref_cpu_rate_calibrate.py) when present, else the live
-    measurement.  Returns (rate, frozen?)."""
+    """vs_baseline denominator: the CONSERVATIVE side of the frozen
+    idle-host calibration (artifacts/ref_cpu_rate_calib.json, produced
+    by artifacts/ref_cpu_rate_calibrate.py) and the live rate measured
+    in this same bench run — i.e. ``max`` of the two.
+
+    Rationale (VERDICT r4 weak #1): the round-4 frozen median (9,807
+    Hams/s) was 1.8x SLOWER than the live rates measured in the same
+    bench runs (16.5-17.7k) — a contended host should be slower than an
+    idle calibration, not faster, so that calibration was depressed.
+    Taking the max means vs_baseline can never be flattered by a stale
+    or contaminated calibration: a depressed frozen rate is overridden
+    by the live measurement, while a live rate depressed by ambient
+    load is floored at the idle calibration.  Returns (rate, frozen?)
+    where frozen? reports whether the calibration side won.
+    """
     import os
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "artifacts", "ref_cpu_rate_calib.json")
     try:
         with open(path) as f:
-            return float(json.load(f)["rate_median"]), True
+            frozen = float(json.load(f)["rate_median"])
+        return max(frozen, live_rate), frozen >= live_rate
     except (OSError, ValueError, KeyError, TypeError):
         # TypeError: a partially written calibration ({"rate_median":
         # null}) must also fall back to the live rate
