@@ -98,6 +98,10 @@ def _clear_jax_caches_between_modules():
 # ---------------------------------------------------------------------------
 
 _SLOW_TESTS = {
+    # round-5 additions
+    "tests/test_models.py::test_nmplus_outcome_distribution_matches_scipy",
+    "tests/test_reference_interop.py::"
+    "test_ppo_outcome_quality_vs_shipped_store",
     # round-4 additions
     "tests/test_tpu_smoke.py::test_pick_tile_padded_paths_on_device",
     "tests/test_models.py::test_adam_restart_table_never_wraps",

@@ -222,6 +222,86 @@ def _shipped_snob_rims(nspin, outspin, sigma):
     return np.asarray(md[r"$W(.,\delta(x-1))$"][0])
 
 
+OUR_PPO_STORE = os.path.join(
+    os.path.dirname(__file__), "..", "artifacts", "selfgen", "experiments",
+    "pipeline_selfgen", "ppo_spin_5_0-2_c_1000.le")
+
+
+def _ppo_rim_matrix(store_ctrls, key_seed, noises=(0.0, 0.05, 0.1),
+                    bootreps=25):
+    """RIM per controller per sigma_sim over the bootrep fid distribution
+    (mcsim.py characterisation semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from code_robchar_tpu.mc.engine import mc_fidelity_sweep
+    from code_robchar_tpu.metrics.rim import wd_from_ideal
+    from code_robchar_tpu.ops import chain
+
+    h0 = chain.xx_hamiltonian_real(5)
+    fids = mc_fidelity_sweep(h0, jnp.asarray(np.asarray(store_ctrls,
+                                                        dtype=float)),
+                             jnp.asarray(list(noises)),
+                             jax.random.key(key_seed), bootreps, 0, 2,
+                             complex_offdiag=True)
+    return np.asarray(jax.vmap(jax.vmap(wd_from_ideal))(fids)), \
+        np.asarray(fids)
+
+
+def test_ppo_outcome_quality_vs_shipped_store():
+    """SURVEY §7.4 outcome parity gate for the PPO family (VERDICT r4
+    next #1b): the committed budget-matched PPO population
+    (artifacts/selfgen — 1000 controllers, sigma_train=0.05, 1e6-fcall
+    budget through the real Experiment driver, SELFGEN.md) is compared
+    against the SHIPPED ppo_spin_5_0-2_c_1000.le sigma_train=0.05 set
+    on the paper's own metrics.
+
+    Why not a two-sided KS<~0.13 gate like SNOB's: PPO populations are
+    not KS-reproducible EVEN BY THE REFERENCE — the shipped store's own
+    adjacent-sigma_train sets (0.04 vs 0.05: near-identical configs,
+    independent trainings) measure KS 0.90-0.95 on every sigma_sim,
+    while OUR population sits at KS 0.26-0.42 from the shipped 0.05
+    set, 2-3x closer than the reference is to itself.  The gateable
+    contract is therefore (a) algorithm-level quality — ARIM (the
+    paper's algorithm metric, wd_from_ideal_zero over the RIM sample)
+    must be no worse than the shipped set's at every sigma_sim — and
+    (b) proximity — KS to the shipped set must stay well inside the
+    reference's own self-distance band.  Measured at these CI settings
+    (3 sigma_sim, bootreps=25, f64 CPU): ARIM ours 0.105/0.191/0.359
+    vs ref 0.217/0.298/0.420; KS 0.263/0.344/0.388; best zero-noise
+    fid 0.990 vs 0.992.  Full-scale numbers (11 sigma_sim,
+    bootreps=100): KS 0.26-0.42, our median RIM 35-45% lower at every
+    level (artifacts/figparity/PPOPARITY.md)."""
+    import json
+    import scipy.stats
+    from code_robchar_tpu.metrics.rim import wd_from_ideal_zero
+    import jax.numpy as jnp
+
+    if not os.path.exists(OUR_PPO_STORE):
+        pytest.skip("selfgen ppo store not committed")
+    ref = json.load(open(REF_STORE))["ppo"]["0.05"]["controller"]
+    ours = json.load(open(OUR_PPO_STORE))["ppo"]["0.05"]["controller"]
+    assert len(ref) == len(ours) == 1000
+
+    r_ref, f_ref = _ppo_rim_matrix(ref, 0)
+    r_ours, f_ours = _ppo_rim_matrix(ours, 1)
+    for i, sigma in enumerate((0.0, 0.05, 0.1)):
+        arim_ours = float(wd_from_ideal_zero(jnp.asarray(r_ours[i])))
+        arim_ref = float(wd_from_ideal_zero(jnp.asarray(r_ref[i])))
+        # (a) algorithm-level quality: no worse than shipped (+0.02
+        # absolute slack; measured margins are 0.06-0.11 in our favor)
+        assert arim_ours <= arim_ref + 0.02, (
+            f"sigma_sim={sigma}: ARIM {arim_ours:.4f} worse than "
+            f"shipped {arim_ref:.4f}")
+        # (b) population proximity: well inside the reference's own
+        # self-distance (adjacent-sigma_train KS 0.90-0.95); gate 0.6
+        ks, _ = scipy.stats.ks_2samp(r_ours[i], r_ref[i])
+        assert ks < 0.6, (f"sigma_sim={sigma}: KS {ks:.3f} drifted "
+                          f"outside the documented band 0.26-0.42")
+    # best-controller quality: the population's peak zero-noise fid
+    # must stay at the shipped level (measured 0.990 vs 0.992)
+    assert float(f_ours[0].max()) >= float(f_ref[0].max()) - 0.01
+
+
 def test_snob_calibration_ks_guardrail():
     """Calibration transition N=5 0->2: the RIM distribution of a
     budget-matched SNOB collection must stay within KS 0.13 of the
