@@ -28,6 +28,47 @@ from code_robchar_tpu.ops import chain, noise as noise_ops, realform, sobol
 from code_robchar_tpu.utils.record import RunRecord, TopControllers
 from code_robchar_tpu.utils.timeout import Deadline
 
+from functools import partial
+
+
+# Jitted kernels behind the scalar host conveniences (fidelity_ss and
+# friends).  These MUST be jitted, not eager: on this jaxlib each eager
+# primitive dispatch loads fresh XLA:CPU AOT modules that are never
+# released (~8 MB/eval measured), so a host-side optimizer driving the
+# scalar objective thousands of times (the SNOBFIT adapter's 300-eval
+# restarts) exhausts memory and segfaults LLVM.  jit caches one
+# executable per (shape, dtype) and holds memory flat.  Noise level and
+# PRNG key are operands, not closure constants, so one compile serves
+# every sigma cell (the Experiment driver mutates .noise between runs).
+
+@partial(jax.jit, static_argnames=("in_spin", "out_spin"))
+def _fid_clean_jit(h, x, in_spin, out_spin):
+    return realform.fidelity_from_controller_sym(h, x, in_spin, out_spin)
+
+
+@partial(jax.jit, static_argnames=("in_spin", "out_spin"))
+def _fid_hamnoisy_jit(h, x, key, sigma, in_spin, out_spin):
+    zr, _ = noise_ops.structured_perturbation_parts(
+        key, h.shape[-1], sigma, complex_offdiag=False, dtype=h.dtype)
+    return realform.fidelity_from_controller_sym(h + zr, x, in_spin,
+                                                 out_spin)
+
+
+@partial(jax.jit, static_argnames=("in_spin", "out_spin"))
+def _fid_av_jit(hams, x, in_spin, out_spin):
+    return jnp.mean(jax.vmap(
+        lambda h: realform.fidelity_from_controller_sym(
+            h, x, in_spin, out_spin))(hams))
+
+
+@partial(jax.jit, static_argnames=("in_spin", "out_spin"))
+def _infid_grad_jit(h, x, in_spin, out_spin):
+    return realform.infidelity_and_gradient_sym(h, x, in_spin, out_spin)
+
+
+_shot_jit = jax.jit(noise_ops.shot_noise_fidelity)
+_adaptive_jit = jax.jit(noise_ops.adaptive_shot_fidelity)
+
 
 #: Compiled batch programs shared across optimizer INSTANCES.  The
 #: Experiment driver constructs a fresh model per (family, noise) cell
@@ -302,31 +343,39 @@ class ControlOptimizer:
 
     def fidelity_ss(self, x, noisy=False, ham_noisy=False,
                     use_fixed_ham=False, rH=None):
-        """Host convenience mirroring qnewton.py:383-423."""
-        x = jnp.asarray(x)
-        h = jnp.real(jnp.asarray(rH)) if use_fixed_ham and rH is not None \
-            else self.HH
+        """Host convenience mirroring qnewton.py:383-423.
+
+        Routed through cached jitted kernels (module top) — eager
+        evaluation leaks XLA:CPU AOT modules per call on this jaxlib,
+        which OOMs host-side sequential drivers like the SNOBFIT
+        adapter (round-5 finding; see the kernel comment above)."""
+        x = jnp.asarray(np.asarray(x, dtype=float), self.HH.dtype)
+        h = jnp.real(jnp.asarray(rH)).astype(self.HH.dtype) \
+            if use_fixed_ham and rH is not None else self.HH
         if ham_noisy:
-            h = h + self.structured_perturabation()
-        fid = realform.fidelity_from_controller_sym(h, x, self.In, self.Out)
+            fid = _fid_hamnoisy_jit(h, x, self.next_key(),
+                                    jnp.asarray(self.noise, h.dtype),
+                                    in_spin=self.In, out_spin=self.Out)
+        else:
+            fid = _fid_clean_jit(h, x, in_spin=self.In, out_spin=self.Out)
         if not noisy:
             return float(fid)
         if not self.adaptive:
-            return float(noise_ops.shot_noise_fidelity(
-                self.next_key(), fid, self.draws))
-        est, _ = noise_ops.adaptive_shot_fidelity(
-            self.next_key(), fid, self.draws, self.adp_tol)
+            return float(_shot_jit(self.next_key(), fid, self.draws))
+        est, _ = _adaptive_jit(self.next_key(), fid, self.draws,
+                               self.adp_tol)
         return float(est)
 
     def fidelity_ss_av(self, x, test=False):
         hams = self.randH_test if test else self.randH
-        fids = jax.vmap(lambda h: realform.fidelity_from_controller_sym(
-            h, jnp.asarray(x), self.In, self.Out))(hams)
-        return float(jnp.mean(fids))
+        return float(_fid_av_jit(
+            hams, jnp.asarray(np.asarray(x, dtype=float), hams.dtype),
+            in_spin=self.In, out_spin=self.Out))
 
     def eval_static_fidelity_gradient(self, x):
-        err, grad = realform.infidelity_and_gradient_sym(
-            self.HH, jnp.asarray(x), self.In, self.Out)
+        err, grad = _infid_grad_jit(
+            self.HH, jnp.asarray(np.asarray(x, dtype=float), self.HH.dtype),
+            in_spin=self.In, out_spin=self.Out)
         return float(err), np.asarray(grad)
 
     def overlap_ss(self, x):

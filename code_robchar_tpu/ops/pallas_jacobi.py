@@ -423,7 +423,6 @@ def make_sym_grad_kernel(n: int, in_spin: int, out_spin: int,
     from jax.experimental.pallas import tpu as pltpu
 
     eps = 1e-7
-    deg_eps = 1e-9
 
     def kernel(a_in, t_in, err_out, grad_out, a, v):
         a[:, :] = a_in[:, :]
@@ -452,16 +451,17 @@ def make_sym_grad_kernel(n: int, in_spin: int, out_spin: int,
             phi = phi + w[k] * fi[k]
         err_out[0, :] = 1.0 - (phr * phr + phi * phi)
 
-        # Daleckii-Krein gamma entries on the fly
+        # Daleckii-Krein gamma entries on the fly, via the
+        # cancellation-free sinc identity (realform._gamma_parts):
+        # accurate at every eigenvalue gap incl. exact degeneracies
         def gamma(j, k):
-            dl = lam[j] - lam[k]
-            near = jnp.abs(dl) < deg_eps
-            safe = jnp.where(near, 1.0, dl)
-            gr = (fr[j] - fr[k]) / safe
-            gi = (fi[j] - fi[k]) / safe
+            x = 0.5 * (lam[j] - lam[k]) * t
+            small = jnp.abs(x) < 1e-3
+            xs = jnp.where(small, 1.0, x)
+            s = jnp.where(small, 1.0 - x * x * (1.0 / 6.0),
+                          jnp.sin(xs) / xs)
             ang = 0.5 * (lam[j] + lam[k]) * t
-            return (jnp.where(near, -t * jnp.sin(ang), gr),
-                    jnp.where(near, -t * jnp.cos(ang), gi))
+            return (-t * s * jnp.sin(ang), -t * s * jnp.cos(ang))
 
         g_cache = [[gamma(j, k) for k in range(n)] for j in range(n)]
 

@@ -20,8 +20,10 @@ for U(H) = exp(-iT H),
     Gamma_jk = (e^{-iT l_j} - e^{-iT l_k}) / (l_j - l_k)   (j != k)
     Gamma_jj = -iT e^{-iT l_j},
 
-with the degenerate limit Gamma_jk -> -iT e^{-iT (l_j+l_k)/2} taken via a
-guarded `where` (SURVEY.md §7.4 "gradient parity").
+evaluated through the cancellation-free product form
+Gamma_jk = -iT e^{-iT (l_j+l_k)/2} sinc(T (l_j-l_k)/2), which is exact at
+every gap including degeneracies (SURVEY.md §7.4 "gradient parity";
+VERDICT r4 weak #2).
 
 The eigensolver is pluggable: `jnp.linalg.eigh` (LAPACK-exact on CPU for the
 1e-10 parity bar) or the batched VPU-friendly Jacobi solver in
@@ -38,7 +40,6 @@ import jax.numpy as jnp
 
 EighFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
 
-_DEG_EPS = 1e-9  # guarded-divide threshold for (near-)degenerate eigenvalues
 
 
 def _phases(lam: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -96,24 +97,36 @@ def fidelity_from_controller(h0: jnp.ndarray, x: jnp.ndarray, in_spin: int,
     return transfer_fidelity(h, t, in_spin, out_spin, eigh)
 
 
+def _sinc(x: jnp.ndarray) -> jnp.ndarray:
+    """sin(x)/x, stable through x = 0 (series below 1e-3: relative error
+    <= x^4/120 ~ 8e-15)."""
+    small = jnp.abs(x) < 1e-3
+    xs = jnp.where(small, jnp.ones((), x.dtype), x)
+    return jnp.where(small, 1.0 - x * x * (1.0 / 6.0), jnp.sin(xs) / xs)
+
+
 def _gamma_matrix(lam: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Daleckii-Krein divided-difference matrix for f(l) = exp(-i t l).
 
-    Gamma_jk = (f(l_j) - f(l_k)) / (l_j - l_k) for separated eigenvalues and
-    the analytic limit -i t f((l_j+l_k)/2) when |l_j - l_k| is tiny.
+    Gamma_jk = (f(l_j) - f(l_k)) / (l_j - l_k), evaluated through the
+    EXACT cancellation-free identity
+
+      Gamma_jk = -i t exp(-i t (l_j+l_k)/2) sinc(t (l_j-l_k)/2)
+
+    which is accurate at every eigenvalue gap — the raw divided
+    difference loses ~eps/|gap| to cancellation near degeneracies and
+    amplifies within-cluster eigenvector rotation error identically
+    (VERDICT r4 weak #2; see realform._gamma_parts for the full
+    analysis).  As sinc -> 1 this smoothly becomes the analytic limit,
+    so no degeneracy threshold is needed.
     """
     tc = jnp.asarray(t, dtype=lam.dtype)
-    f = _phases(lam, tc)
     dl = lam[..., :, None] - lam[..., None, :]
-    df = f[..., :, None] - f[..., None, :]
-    near = jnp.abs(dl) < _DEG_EPS
-    safe_dl = jnp.where(near, 1.0, dl)
-    quotient = df / safe_dl.astype(df.dtype)
     mid = 0.5 * (lam[..., :, None] + lam[..., None, :])
     angle = -mid * tc[..., None, None]
     fmid = jax.lax.complex(jnp.cos(angle), jnp.sin(angle))
-    limit = -1j * tc[..., None, None].astype(fmid.dtype) * fmid
-    return jnp.where(near, limit, quotient)
+    s = _sinc(0.5 * dl * tc[..., None, None])
+    return -1j * (tc[..., None, None] * s).astype(fmid.dtype) * fmid
 
 
 def infidelity_and_gradient(h0: jnp.ndarray, x: jnp.ndarray, in_spin: int,

@@ -196,3 +196,73 @@ def test_f32_sweep_policy_converges_on_hard_spectra(rng):
             jnp.asarray(ar, jnp.float32), jnp.asarray(ai, jnp.float32),
             jnp.asarray(t, jnp.float32), 0, n - 1)
         assert np.abs(np.asarray(got) - fid64).max() < 1e-5
+
+
+def _augmented_expm_gradient(h0, x, in_spin, out_spin):
+    """Reference oracle: the augmented-matrix expm gradient
+    (qnewton.py:162-212) in f64 scipy — fully independent of the
+    framework's Daleckii-Krein formulation."""
+    import scipy.linalg
+
+    n = h0.shape[0]
+    t = abs(x[n])
+    h = h0 + np.diag(x[:n])
+    th = -1j * t * h
+    u = scipy.linalg.expm(th)
+    phi = u[out_spin, in_spin]
+    err = 1.0 - (phi.real * phi.real + phi.imag * phi.imag)
+    grad = np.zeros(n + 1)
+    a = np.zeros((2 * n, 2 * n), dtype=complex)
+    a[:n, :n] = th
+    a[n:, n:] = th
+    for l in range(n):
+        a[n:, :n] = 0.0
+        a[n + l, l] = -1j * t
+        du = scipy.linalg.expm(a)[n:, :n]
+        grad[l] = -2.0 * (du[out_spin, in_spin] * phi.conjugate()).real
+    hu = h @ u
+    grad[n] = -2.0 * (hu[out_spin, in_spin] * phi.conjugate()).imag
+    return err, grad
+
+
+def test_gradient_lanes_ring_degeneracies():
+    """VERDICT r4 next #4: the lanes-path gradient at the ring
+    topology's EXACT degeneracies (qnewton.py:145-147 — the periodic
+    XX chain has doubly-degenerate eigenvalues 2cos(2 pi k/n)) and at
+    near-degenerate spectra (tiny biases splitting the pairs by
+    ~1e-4).  Before the sinc-form Daleckii-Krein the f32 device
+    gradient measured up to 1.5e-2 off the f64 oracle here
+    (docs/ROADMAP.md round-3); the sinc identity has no cancellation
+    at any gap.  Targets: <= 1e-4 at f32, oracle-exact (1e-10) at f64.
+    Oracle: the reference's own augmented-expm trick in scipy f64."""
+    rng = np.random.default_rng(42)
+    for n in (5, 6):
+        ring = (np.eye(n, k=1) + np.eye(n, k=-1))
+        ring[0, n - 1] = ring[n - 1, 0] = 1.0
+        cases = []
+        for scale in (0.0, 1e-4, 1e-2):
+            for _ in range(4):
+                cases.append(np.concatenate([
+                    rng.uniform(-scale, scale, n),
+                    rng.uniform(2.0, 20.0, 1)]))
+        xs = np.asarray(cases)
+        oracle = np.asarray([
+            _augmented_expm_gradient(ring, x, 0, n - 1)[1] for x in xs])
+
+        # f64 lanes: oracle-exact
+        _, g64 = realform.infidelity_and_gradient_sym_lanes(
+            jnp.asarray(ring), jnp.asarray(xs), 0, n - 1)
+        np.testing.assert_allclose(np.asarray(g64), oracle, atol=1e-10)
+
+        # f32 lanes: the production fallback for non-TPU backends
+        _, g32 = realform.infidelity_and_gradient_sym_lanes(
+            jnp.asarray(ring, jnp.float32), jnp.asarray(xs, jnp.float32),
+            0, n - 1)
+        err = np.abs(np.asarray(g32, dtype=float) - oracle).max()
+        assert err < 1e-4, f"n={n}: f32 lanes gradient off by {err:.2e}"
+
+        # complex eigh path (propagate._gamma_matrix) at the same
+        # degeneracies, f64: oracle-exact
+        err64, gp = propagate.infidelity_and_gradient(
+            jnp.asarray(ring, jnp.complex128), jnp.asarray(xs), 0, n - 1)
+        np.testing.assert_allclose(np.asarray(gp), oracle, atol=1e-10)
