@@ -384,11 +384,17 @@ def minimize(objective: Callable[[np.ndarray], float], x0, bounds,
     sf.tell(x0, f0)
     while len(history) < budget and fails < opts.maxfail:
         batch = sf.suggest(min(n + 6, budget - len(history)))
-        fs = evaluate(batch)
-        for y, fy in zip(batch, fs):
+        if objective_batch is not None:
+            fs = evaluate(batch)
+        for i, y in enumerate(batch):
             if len(history) >= budget or fails >= opts.maxfail:
                 break
-            book(y, float(fy))
-            sf.tell(y, float(fy))
+            # sequential path evaluates lazily so a mid-batch stop
+            # spends no extra objective calls (len(history) == calls);
+            # the batch path pre-pays the whole batch by construction
+            fy = float(fs[i]) if objective_batch is not None \
+                else float(objective(y))
+            book(y, fy)
+            sf.tell(y, fy)
     xb, fb = sf.best()
     return OptResult(optval=fb, optpar=xb), np.asarray(history)

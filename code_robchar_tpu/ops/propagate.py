@@ -168,7 +168,10 @@ def infidelity_and_gradient(h0: jnp.ndarray, x: jnp.ndarray, in_spin: int,
     # A[l, j] = V[out, j] * conj(V[l, j]);  B[l, k] = V[l, k] * conj(V[in, k])
     a = v_out[..., None, :] * v.conj()               # (..., l, j) via rows of V
     b = v * v_in_c[..., None, :]                     # (..., l, k)
-    dphi_bias = jnp.einsum("...lj,...jk,...lk->...l", a, gamma, b)
+    # precision pin: default-precision f32 dots ride the MXU in bf16
+    # on TPU (5e-3-class gradient error); HIGHEST keeps the f32 floor
+    dphi_bias = jnp.einsum("...lj,...jk,...lk->...l", a, gamma, b,
+                           precision=jax.lax.Precision.HIGHEST)
     grad_bias = -2.0 * (dphi_bias * phi.conj()[..., None]).real
 
     # time derivative: (H U)[out, in] = sum_k l_k V[out,k] e^{-iT l_k} conj(V[in,k])

@@ -383,8 +383,15 @@ def infidelity_and_gradient_sym(h0: jnp.ndarray, x: jnp.ndarray,
     # A[l, j] = V[out, j] V[l, j];  B[l, k] = V[l, k] V[in, k]  (all real)
     a = v_out[..., None, :] * v
     b = v * v_in[..., None, :]
-    dphr = jnp.einsum("...lj,...jk,...lk->...l", a, gr, b)
-    dphi = jnp.einsum("...lj,...jk,...lk->...l", a, gi, b)
+    # precision pin: on TPU, default-precision einsums lower f32 dots
+    # to bf16 MXU passes — measured 1e-2 max / 5e-3 p99 absolute
+    # gradient error on-device vs the f64 oracle (round-5 device
+    # numerics tier), while HIGHEST keeps the full-f32 2e-5 floor.
+    # These contractions are n<=10 wide; MXU time is irrelevant here.
+    dphr = jnp.einsum("...lj,...jk,...lk->...l", a, gr, b,
+                      precision=jax.lax.Precision.HIGHEST)
+    dphi = jnp.einsum("...lj,...jk,...lk->...l", a, gi, b,
+                      precision=jax.lax.Precision.HIGHEST)
     # d err/dx_l = -2 Re(dphi * conj(phi))
     grad_bias = -2.0 * (dphr * phr[..., None] + dphi * phi[..., None])
 
@@ -636,8 +643,12 @@ def infidelity_and_gradient_sym_lanes(h0: jnp.ndarray, xs: jnp.ndarray,
     # (j, k) with the batch in the last axis
     a_lj = v_out[None, :, :] * v                         # (l, j, B)
     b_lk = v * v_in[None, :, :]                          # (l, k, B)
-    dphr = jnp.einsum("ljb,jkb,lkb->lb", a_lj, gr, b_lk)
-    dphi = jnp.einsum("ljb,jkb,lkb->lb", a_lj, gi, b_lk)
+    # precision pin: see infidelity_and_gradient_sym — bf16 MXU
+    # lowering costs 5e-3 gradient accuracy on device otherwise
+    dphr = jnp.einsum("ljb,jkb,lkb->lb", a_lj, gr, b_lk,
+                      precision=jax.lax.Precision.HIGHEST)
+    dphi = jnp.einsum("ljb,jkb,lkb->lb", a_lj, gi, b_lk,
+                      precision=jax.lax.Precision.HIGHEST)
     grad_bias = -2.0 * (dphr * phr[None, :] + dphi * phi[None, :])
 
     hur = jnp.sum(lam * w * fr, axis=0)

@@ -102,6 +102,9 @@ _SLOW_TESTS = {
     "tests/test_models.py::test_nmplus_outcome_distribution_matches_scipy",
     "tests/test_reference_interop.py::"
     "test_ppo_outcome_quality_vs_shipped_store",
+    "tests/test_reference_interop.py::"
+    "test_vendored_snobfit_distribution_vs_shipped",
+    "tests/test_tpu_smoke.py::test_device_numerics_vs_x64_oracle",
     # round-4 additions
     "tests/test_tpu_smoke.py::test_pick_tile_padded_paths_on_device",
     "tests/test_models.py::test_adam_restart_table_never_wraps",
