@@ -105,6 +105,7 @@ _SLOW_TESTS = {
     "tests/test_reference_interop.py::"
     "test_vendored_snobfit_distribution_vs_shipped",
     "tests/test_tpu_smoke.py::test_device_numerics_vs_x64_oracle",
+    "tests/test_figs_coverage.py::test_fig8_sidecar_staleness_matrix",
     # round-4 additions
     "tests/test_tpu_smoke.py::test_pick_tile_padded_paths_on_device",
     "tests/test_models.py::test_adam_restart_table_never_wraps",

@@ -196,3 +196,93 @@ def test_generate_all_scaling_leg(tmp_path, monkeypatch):
                              scaling_experiment="some_scaling",
                              grayscale=False)
     assert not any(p.endswith("f8.pdf") for p in paths2)
+
+
+def test_fig8_sidecar_staleness_matrix(tmp_path):
+    """The fig8 ARIM-cache sidecar contract (round-4 stale-column trap
+    fix, fig8.py:85-148): cache hits only when BOTH the fcall row keys
+    and the (noise grid, bootreps, seed) column signature match;
+    legacy list-format sidecars still validate rows; a pre-sidecar
+    pickle warns and pins its assumption."""
+    import pickle
+    import warnings
+
+    from code_robchar_tpu.exp.namer import ExperimentNamer
+    from code_robchar_tpu.figs.fig8 import NStochOpt
+
+    rng = np.random.default_rng(0)
+    gdir = str(tmp_path / "experiments")
+    namer = ExperimentNamer(experiment_name="pipeline_scalecov", Nspin=4,
+                            inspin=0, outspin=2, numcontrollers=4,
+                            global_dir=gdir)
+
+    def ctrls(k):
+        return np.column_stack([rng.uniform(-10, 10, (k, 4)),
+                                rng.uniform(1, 20, k)]).tolist()
+
+    scaling = {"ppo": {"0.05": {"1000": ctrls(4), "2000": ctrls(4)}}}
+    json.dump(scaling, open(namer() + ".le_nsh", "w"))
+    json.dump(scaling, open(namer() + ".le_sh", "w"))
+    json.dump({"ppo": {"0.05": {"controller": ctrls(4)}}},
+              open(namer() + ".le", "w"))
+
+    def make(bootreps=2):
+        return NStochOpt("pipeline_scalecov", Nspin=4, inspin=0,
+                         outspin=2, noises=np.asarray([0.0, 0.05]),
+                         bootreps=bootreps, numcontrollers=4,
+                         filemarker=".le", fig_dir=str(tmp_path / "figs"),
+                         global_experiments_directory=gdir)
+
+    s = make()
+    arims, keys = s.get_arims("ppo", nlvl="0.05", marker="",
+                              cdict=s.c_dict_sh)
+    assert arims.shape == (2, 2) and keys == ["1000", "2000"]
+    save = s.get_controller_name + "_arims_ppo0.05.pickle"
+    assert os.path.exists(save) and os.path.exists(save + ".fckeys.json")
+    mtime = os.path.getmtime(save)
+
+    # 1. clean cache hit
+    arims2, _ = s.get_arims("ppo", nlvl="0.05", marker="",
+                            cdict=s.c_dict_sh)
+    np.testing.assert_array_equal(arims2, arims)
+    assert os.path.getmtime(save) == mtime
+
+    # 2. legacy list-format sidecar with matching keys: still a hit
+    json.dump(["1000", "2000"], open(save + ".fckeys.json", "w"))
+    arims3, _ = s.get_arims("ppo", nlvl="0.05", marker="",
+                            cdict=s.c_dict_sh)
+    np.testing.assert_array_equal(arims3, arims)
+
+    # 3. different bootreps -> column signature mismatch -> recompute
+    json.dump({"fckeys": ["1000", "2000"],
+               "cols": {"noises": [0.0, 0.05], "bootreps": 2, "seed": 0}},
+              open(save + ".fckeys.json", "w"))
+    s3 = make(bootreps=3)
+    s3.get_arims("ppo", nlvl="0.05", marker="", cdict=s3.c_dict_sh)
+    sidecar = json.load(open(save + ".fckeys.json"))
+    assert sidecar["cols"]["bootreps"] == 3      # cache was rewritten
+
+    # 4. pre-sidecar pickle (no keyfile), row count matches: warn + pin
+    os.remove(save + ".fckeys.json")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s3.get_arims("ppo", nlvl="0.05", marker="", cdict=s3.c_dict_sh)
+    assert any("predates" in str(x.message) for x in w)
+    assert os.path.exists(save + ".fckeys.json")
+
+    # 5. changed fcall keys (same count) -> stale -> recompute
+    renamed = {"ppo": {"0.05": {"1000": scaling["ppo"]["0.05"]["1000"],
+                                "3000": scaling["ppo"]["0.05"]["2000"]}}}
+    _, keys5 = s3.get_arims("ppo", nlvl="0.05", marker="", cdict=renamed)
+    assert keys5 == ["1000", "3000"]
+    sidecar5 = json.load(open(save + ".fckeys.json"))
+    assert sidecar5["fckeys"] == ["1000", "3000"]
+
+    # 6. reference pickle with no sidecar and a MISMATCHED row count:
+    # keys cannot label the rows -> index-axis fallback (keys None)
+    os.remove(save + ".fckeys.json")
+    with open(save, "wb") as f:
+        pickle.dump(np.zeros((5, 2)), f)
+    arims6, keys6 = s3.get_arims("ppo", nlvl="0.05", marker="",
+                                 cdict=renamed)
+    assert keys6 is None and arims6.shape == (5, 2)
